@@ -1,0 +1,162 @@
+// tzpaq: native host engine for the zpaqfranz_tpu framework.
+//
+// Clean-room implementation of the ZPAQ Level-2 codec semantics
+// (spec: http://mattmahoney.net/zpaq/, public domain; behavioral reference
+// cited per function from /root/reference/ZSFX/libzpaq.{h,cpp}).
+// This engine is the host-side correctness oracle and fast path; the TPU
+// path lives in JAX/Pallas on the Python side and must match it bit-exactly.
+#pragma once
+
+#include <cstdint>
+#include <cstddef>
+#include <cstring>
+#include <string>
+#include <vector>
+#include <stdexcept>
+
+namespace tzpaq {
+
+using u8 = uint8_t;
+using u16 = uint16_t;
+using u32 = uint32_t;
+using u64 = uint64_t;
+using i32 = int32_t;
+using i64 = int64_t;
+
+struct format_error : std::runtime_error {
+  explicit format_error(const std::string& m) : std::runtime_error(m) {}
+};
+
+// ---- shared model tables (built once, checksum-verified) ----
+struct Tables {
+  u8 sns[1024];        // bit-history automaton (installed from Python)
+  u32 cminit[256];     // initial ICM probabilities per state
+  u16 squasht[4096];
+  int16_t stretcht[32768];
+  i32 dt[1024];
+  i32 dt2k[256];
+  bool ready = false;
+};
+extern Tables g_tab;
+void install_sns(const u8* sns1024);  // also builds the float-free tables
+
+inline int squash(int x) { return g_tab.squasht[x + 2048]; }
+inline int stretch(int p) { return g_tab.stretcht[p]; }
+inline int clamp2k(int x) { return x < -2048 ? -2048 : x > 2047 ? 2047 : x; }
+inline int clamp512k(int x) {
+  return x < -(1 << 19) ? -(1 << 19) : x >= (1 << 19) ? (1 << 19) - 1 : x;
+}
+
+// ---- growable output sink ----
+struct Sink {
+  std::vector<u8> v;
+  inline void put(int c) { v.push_back((u8)c); }
+  inline void write(const u8* p, size_t n) { v.insert(v.end(), p, p + n); }
+  size_t size() const { return v.size(); }
+};
+
+// ---- ZPAQL virtual machine ----
+// Semantics: ZPAQ L2 spec; reference interpreter libzpaq.cpp:1033-1254.
+struct VM {
+  std::vector<u8> code;   // HCOMP or PCOMP bytecode (no trailing 0 needed)
+  std::vector<u32> h;
+  std::vector<u8> m;
+  std::vector<u32> r;
+  u32 a = 0, b = 0, c = 0, d = 0;
+  int f = 0;
+  u32 hmask = 0, mmask = 0;
+  Sink* out = nullptr;    // OUT destination (PCOMP)
+
+  void init(const u8* prog, size_t proglen, int hbits, int mbits);
+  void run(u32 input);
+};
+
+// ---- model description parsed from a serialized block header ----
+struct Header {
+  int hh = 0, hm = 0, ph = 0, pm = 0;
+  std::vector<std::vector<u8>> comps;
+  std::vector<u8> hcomp;
+  // parse "hsize[2] hh hm ph pm n comp.. 0 hcomp.. 0"; returns bytes used
+  size_t parse(const u8* data, size_t len);
+  int n() const { return (int)comps.size(); }
+};
+
+// ---- Predictor: the 9 ZPAQ components ----
+// Semantics: libzpaq.cpp:1715-2080 (init/predict0/update0/find).
+struct Comp {
+  size_t limit = 0, cxt = 0, a = 0, b = 0, c = 0;
+  std::vector<u32> cm;
+  std::vector<u8> ht;
+  std::vector<u16> a16;
+};
+
+struct Predictor {
+  Header hdr;
+  VM z;
+  int c8 = 1, hmap4 = 1;
+  int p[256];
+  u32 h[256];
+  Comp comp[256];
+
+  void init(const Header& hd);
+  bool is_modeled() const { return hdr.n() > 0; }
+  int predict();
+  void update(int y);
+
+ private:
+  size_t find(std::vector<u8>& ht, int sizebits, u32 cxt);
+  void train(Comp& cr, int y);
+};
+
+// ---- arithmetic decoder over an in-memory segment ----
+// Semantics: libzpaq.cpp:2082-2173.
+struct Decoder {
+  const u8* in = nullptr;
+  size_t inlen = 0, pos = 0;
+  u32 low = 1, high = 0xFFFFFFFFu, curr = 0;
+  Predictor pr;
+
+  void init_block(const Header& hd);  // predictor init, once per block
+  void init_segment();                // coder state reset, per segment
+  int decompress();                   // one byte or -1 at EOS
+  int get() { return pos < inlen ? in[pos++] : -1; }
+
+ private:
+  int decode(int p);
+};
+
+// ---- postprocessor ----
+struct PostProc {
+  int state = 0, hsize = 0, ph = 0, pm = 0;
+  std::vector<u8> pcomp;
+  VM vm;
+  Sink* out = nullptr;
+  void init(int ph_, int pm_, Sink* out_);
+  void write(int c);
+};
+
+// ---- arithmetic encoder ----
+struct Encoder {
+  Sink* out = nullptr;
+  u32 low = 1, high = 0xFFFFFFFFu;
+  Predictor pr;
+  std::vector<u8> ubuf;  // unmodeled buffer
+
+  void init_block(const Header& hd);
+  void init_segment();
+  void compress(int c);   // c = 0..255 or -1 at end of segment
+  void encode(int y, int p);
+  void flush_unmodeled();
+};
+
+// ---- preprocessors ----
+void e8e9(u8* buf, i64 n);  // libzpaq.cpp:6117-6126 semantics
+// LZ77/BWT encode; args as LZBuffer (libzpaq.cpp:6128-6311):
+// args[0]=log2 bufsize MB, args[1]=level(1,2,3)+4*e8e9, args[2]=minMatch,
+// args[3]=minMatch2, args[4]=log bucket, args[5]=log ht size (or args[0]+21
+// for suffix-array search), args[6]=lookahead.
+void lz77_encode(const u8* in, size_t n, const int args[9], std::vector<u8>& out);
+void sais(const u8* s, i32* sa, i32 n);                   // suffix array
+void inverse_bwt(const u8* in, size_t n, u32 idx, std::vector<u8>& out);
+
+}  // namespace tzpaq
