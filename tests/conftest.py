@@ -1,11 +1,18 @@
 import os
 
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding logic is
-# exercised without TPU hardware. Must be set before JAX is imported.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# exercised without TPU hardware. Must be set before JAX backends initialize.
+# The axon site hook force-selects the tunneled TPU via
+# jax.config.update("jax_platforms", "axon,cpu"), so the env var alone is not
+# enough — override the config explicitly after import.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 import pytest

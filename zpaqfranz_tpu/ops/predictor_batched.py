@@ -1,0 +1,395 @@
+"""Batched ZPAQ predictor: L independent streams per step, pure JAX.
+
+The nine component types (CONST, CM, ICM, MATCH, AVG, MIX2, MIX, ISSE, SSE)
+with the exact integer semantics of the scalar oracle
+(``models.predictor.Predictor``; behavioral reference
+/root/reference/ZSFX/libzpaq.cpp:1715-2080), vmapped by construction: every
+per-stream scalar becomes an (L,) vector, every per-stream table an (L, size)
+array, and the component chain — static per model — is unrolled at trace time
+into straight-line vector code.
+
+Key structural trick: streams are processed in *byte lockstep* (all lanes are
+always at the same bit position of their current byte), so the partial-byte
+counter ``c8`` has the same magnitude in every lane. All branches on c8
+(ICM/ISSE hash-table re-probe at nibble starts, the hmap4 nibble update, the
+HCOMP run at byte end) are therefore static per bit phase 0..7 — no per-lane
+control flow in the hot path.
+
+State layout: a flat dict pytree keyed 'c8','hmap4','h','vm', plus per
+component i 'cxt{i}','a{i}','b{i}','c{i}','lim{i}' scalars-per-lane and
+'cm{i}'/'ht{i}'/'a16{i}' tables. Scannable and shardable (lane axis 0).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import tables as T
+from ..zpaql.header import Model
+from .vm_batched import BatchedVM, VMState, init_vm_state
+
+U32, U8, I32, I16 = jnp.uint32, jnp.uint8, jnp.int32, jnp.int16
+
+# LUT host constants; converted lazily so importing this module never
+# initializes a JAX backend (the env may pin JAX_PLATFORMS before we run).
+_NP_SQUASHT = T.SQUASHT.astype(np.int32)
+_NP_STRETCHT = T.STRETCHT.astype(np.int32)
+
+
+class _LUTProxy:
+    """Indexable view that materializes the LUT as a traced constant at each
+    use site (never caches jnp arrays, so no backend init at import and no
+    tracer leakage across jit scopes)."""
+
+    def __init__(self, np_arr):
+        self._np = np_arr
+
+    def __getitem__(self, idx):
+        return jnp.asarray(self._np)[idx]
+
+    def __jax_array__(self):
+        return jnp.asarray(self._np)
+
+
+_SQUASHT = _LUTProxy(_NP_SQUASHT)
+_STRETCHT = _LUTProxy(_NP_STRETCHT)
+_DT = _LUTProxy(T.DT)
+_DT2K = _LUTProxy(T.DT2K)
+_SNS = _LUTProxy(T.SNS)
+_CMINIT = _LUTProxy(T.CMINIT)
+
+
+def _gather(tab: jax.Array, idx: jax.Array) -> jax.Array:
+    """tab (L, S), idx (L,) -> (L,) gather along axis 1."""
+    return jnp.take_along_axis(tab, idx.astype(I32)[:, None], axis=1)[:, 0]
+
+
+def _clamp2k(x):
+    return jnp.clip(x, -2048, 2047)
+
+
+def _clamp512k(x):
+    return jnp.clip(x, -(1 << 19), (1 << 19) - 1)
+
+
+def _find(ht: jax.Array, sizebits: int, cxt: jax.Array, mask: jax.Array
+          ) -> Tuple[jax.Array, jax.Array]:
+    """Batched ICM/ISSE hash-table probe (reference libzpaq.cpp:2060-2080).
+
+    ht (L, S) u8, cxt (L,) u32, mask (L,) bool: lanes where the probe runs.
+    Returns (new_ht, row_index (L,) i32); non-masked lanes leave ht unchanged
+    and their returned index is unspecified (caller selects the old one).
+    """
+    L, S = ht.shape
+    lanes = jnp.arange(L)
+    chk = ((cxt >> sizebits) & 255).astype(U8)
+    h0 = ((cxt * 16) & np.uint32(S - 16)).astype(I32)
+    h1 = h0 ^ 16
+    h2 = h0 ^ 32
+    c0, c1, c2 = _gather(ht, h0), _gather(ht, h1), _gather(ht, h2)
+    p0, p1, p2 = _gather(ht, h0 + 1), _gather(ht, h1 + 1), _gather(ht, h2 + 1)
+    m0, m1, m2 = c0 == chk, c1 == chk, c2 == chk
+    hit = jnp.where(m0, h0, jnp.where(m1, h1, h2))
+    any_match = m0 | m1 | m2
+    # LRU-ish replacement: lowest count, ties prefer h0 then h1
+    rep = jnp.where((p0 <= p1) & (p0 <= p2), h0, jnp.where(p1 < p2, h1, h2))
+    idx = jnp.where(any_match, hit, rep)
+    # on replacement: zero the 16-byte row, then set its checksum byte
+    need_clear = mask & ~any_match
+    cols = idx[:, None] + jnp.arange(16)[None, :]          # (L, 16)
+    cols = jnp.where(need_clear[:, None], cols, S)          # sentinel -> drop
+    fresh = jnp.concatenate(
+        [chk[:, None], jnp.zeros((L, 15), U8)], axis=1)
+    new_ht = ht.at[lanes[:, None], cols].set(fresh, mode="drop")
+    return new_ht, idx
+
+
+class BatchedPredictor:
+    """Builds init/predict/update over L lanes for one model (static COMP)."""
+
+    def __init__(self, model: Model, max_hcomp_steps: int | None = None):
+        self.model = model
+        self.n = model.n
+        self.comps: List[tuple] = [tuple(c) for c in model.comps]
+        if self.n:
+            self.vm = BatchedVM(model.hcomp, model.hh, model.hm,
+                                max_steps=max_hcomp_steps)
+        # h indices are read through the hmask (oracle predictor.py:258)
+        self.hmask = (1 << model.hh) - 1
+
+    # ------------------------------------------------------------------
+    def init_state(self, n_lanes: int) -> Dict[str, jax.Array]:
+        L = n_lanes
+        st: Dict[str, jax.Array] = {
+            "c8": jnp.ones(L, U32),
+            "hmap4": jnp.ones(L, U32),
+            "h": jnp.zeros((L, max(self.n, 1)), U32),
+            "vm": init_vm_state(L, self.model.hh, self.model.hm),
+        }
+        for i, cp in enumerate(self.comps):
+            t = cp[0]
+            for k in ("cxt", "a", "b", "c", "lim"):
+                st[f"{k}{i}"] = jnp.zeros(L, U32)
+            if t == T.CM:
+                st[f"cm{i}"] = jnp.full((L, 1 << cp[1]), 0x80000000, U32)
+            elif t == T.ICM:
+                st[f"cm{i}"] = jnp.broadcast_to(_CMINIT, (L, 256)) + 0
+                st[f"ht{i}"] = jnp.zeros((L, 64 << cp[1]), U8)
+            elif t == T.MATCH:
+                st[f"cm{i}"] = jnp.zeros((L, 1 << cp[1]), U32)
+                ht = np.zeros((L, 1 << cp[2]), np.uint8)
+                ht[:, 0] = 1
+                st[f"ht{i}"] = jnp.asarray(ht)
+            elif t == T.MIX2:
+                st[f"a16{i}"] = jnp.full((L, 1 << cp[1]), 32768, I32)
+            elif t == T.MIX:
+                m = cp[3]
+                st[f"cm{i}"] = jnp.full((L, m << cp[1]), 65536 // m, I32)
+            elif t == T.ISSE:
+                st[f"ht{i}"] = jnp.zeros((L, 64 << cp[1]), U8)
+                wt = np.zeros((L, 512), np.int32)
+                wt[:, 0::2] = 1 << 15
+                init1 = np.clip(
+                    T.STRETCHT[(T.CMINIT >> 8).astype(np.int64)].astype(np.int64)
+                    * 1024, -(1 << 19), (1 << 19) - 1).astype(np.int32)
+                wt[:, 1::2] = init1[None, :]
+                st[f"cm{i}"] = jnp.asarray(wt)
+            elif t == T.SSE:
+                row = np.empty(32 << cp[1], np.uint32)
+                for j in range(32):
+                    row[j::32] = (np.uint32(T.SQUASHT[j * 64 - 992 + 2048])
+                                  << 17) | np.uint32(cp[3])
+                st[f"cm{i}"] = jnp.broadcast_to(jnp.asarray(row),
+                                                (L, row.size)) + 0
+        return st
+
+    # ------------------------------------------------------------------
+    def predict(self, st: Dict[str, jax.Array], phase: int
+                ) -> Tuple[jax.Array, List[jax.Array], Dict[str, jax.Array]]:
+        """One prediction step at static bit phase 0..7.
+
+        Returns (p_final (L,) i32 in 0..32767, per-component stretched
+        predictions, updated state — ICM/ISSE probes and MATCH bit selection
+        mutate per-component scalars/tables exactly like the reference).
+        """
+        st = dict(st)
+        L = st["c8"].shape[0]
+        c8, hmap4 = st["c8"], st["hmap4"]
+        p: List[jax.Array] = [jnp.zeros(L, I32) for _ in range(self.n)]
+        new_probe = phase in (0, 4)  # c8==1 or 16<=c8<32: static per phase
+        for i, cp in enumerate(self.comps):
+            t = cp[0]
+            hi = st["h"][:, i]
+            if t == T.CONS:
+                p[i] = jnp.full(L, (cp[1] - 128) * 4, I32)
+            elif t == T.CM:
+                size = 1 << cp[1]
+                cxt = (hi ^ hmap4) & np.uint32(size - 1)
+                st[f"cxt{i}"] = cxt
+                p[i] = _STRETCHT[(_gather(st[f"cm{i}"], cxt) >> 17).astype(I32)]
+            elif t == T.ICM:
+                if new_probe:
+                    ht, idx = _find(st[f"ht{i}"], cp[1] + 2, hi + 16 * c8,
+                                    jnp.ones(L, bool))
+                    st[f"ht{i}"] = ht
+                    st[f"c{i}"] = idx.astype(U32)
+                cxt = _gather(st[f"ht{i}"],
+                              st[f"c{i}"] + (hmap4 & 15)).astype(U32)
+                st[f"cxt{i}"] = cxt
+                p[i] = _STRETCHT[(_gather(st[f"cm{i}"], cxt) >> 8).astype(I32)]
+            elif t == T.MATCH:
+                ht = st[f"ht{i}"]
+                mask = np.uint32(ht.shape[1] - 1)
+                a = st[f"a{i}"]
+                byte = _gather(ht, (st[f"lim{i}"] - st[f"b{i}"]) & mask)
+                cbit = ((byte.astype(U32) >> (np.uint32(7 - phase))) & 1)
+                st[f"c{i}"] = jnp.where(a == 0, st[f"c{i}"], cbit)
+                sign = cbit.astype(I32) * -2 + 1
+                pm = (_DT2K[a.astype(I32)] * sign) & 32767
+                p[i] = jnp.where(a == 0, 0, _STRETCHT[pm])
+            elif t == T.AVG:
+                p[i] = (p[cp[1]] * cp[3] + p[cp[2]] * (256 - cp[3])) >> 8
+            elif t == T.MIX2:
+                size = 1 << cp[1]
+                cxt = ((hi + (c8 & np.uint32(cp[5]))) & np.uint32(size - 1))
+                st[f"cxt{i}"] = cxt
+                w = _gather(st[f"a16{i}"], cxt)
+                p[i] = (w * p[cp[2]] + (65536 - w) * p[cp[3]]) >> 16
+            elif t == T.MIX:
+                m = cp[3]
+                size = 1 << cp[1]
+                cxt = ((hi + (c8 & np.uint32(cp[5])))
+                       & np.uint32(size - 1)) * np.uint32(m)
+                st[f"cxt{i}"] = cxt
+                rows = st[f"cm{i}"]
+                cols = cxt.astype(I32)[:, None] + jnp.arange(m)[None, :]
+                wt = jnp.take_along_axis(rows, cols, axis=1)      # (L, m)
+                pin = jnp.stack([p[cp[2] + j] for j in range(m)], axis=1)
+                s = jnp.sum((wt >> 8) * pin, axis=1)
+                p[i] = _clamp2k(s >> 8)
+            elif t == T.ISSE:
+                if new_probe:
+                    ht, idx = _find(st[f"ht{i}"], cp[1] + 2, hi + 16 * c8,
+                                    jnp.ones(L, bool))
+                    st[f"ht{i}"] = ht
+                    st[f"c{i}"] = idx.astype(U32)
+                cxt = _gather(st[f"ht{i}"],
+                              st[f"c{i}"] + (hmap4 & 15)).astype(U32)
+                st[f"cxt{i}"] = cxt
+                wt = st[f"cm{i}"]
+                w0 = _gather(wt, cxt * 2)
+                w1 = _gather(wt, cxt * 2 + 1)
+                p[i] = _clamp2k((w0 * p[cp[2]] + w1 * 64) >> 16)
+            elif t == T.SSE:
+                size = 32 << cp[1]
+                cxt = (hi + c8) * 32
+                pq = jnp.clip(p[cp[2]] + 992, 0, 1983)
+                wt = pq & 63
+                cxt = cxt + (pq >> 6).astype(U32)
+                v0 = (_gather(st[f"cm{i}"], cxt & np.uint32(size - 1))
+                      >> 10).astype(I32)
+                v1 = (_gather(st[f"cm{i}"], (cxt + 1) & np.uint32(size - 1))
+                      >> 10).astype(I32)
+                p[i] = _STRETCHT[(v0 * (64 - wt) + v1 * wt) >> 13]
+                st[f"cxt{i}"] = cxt + (wt >> 5).astype(U32)
+            else:
+                raise ValueError(f"unknown component type {t}")
+        p_final = _SQUASHT[p[self.n - 1] + 2048]
+        return p_final, p, st
+
+    # ------------------------------------------------------------------
+    def _train(self, st, i, size_bits, limit, y):
+        """CM/SSE table training (reference libzpaq.h:1151-1157)."""
+        cm = st[f"cm{i}"]
+        size = cm.shape[1]
+        idx = st[f"cxt{i}"] & np.uint32(size - 1)
+        pn = _gather(cm, idx)
+        count = (pn & 1023).astype(I32)
+        error = y.astype(I32) * 32767 - (pn >> 17).astype(I32)
+        delta = ((error * _DT[count]) & -1024).astype(U32)
+        pn2 = pn + delta + (count < limit).astype(U32)
+        lanes = jnp.arange(cm.shape[0])
+        st[f"cm{i}"] = cm.at[lanes, idx.astype(I32)].set(pn2)
+
+    def update(self, st: Dict[str, jax.Array], p: List[jax.Array],
+               y: jax.Array, phase: int) -> Dict[str, jax.Array]:
+        """Train all components on bit y (L,), then advance c8/hmap4/HCOMP."""
+        st = dict(st)
+        L = y.shape[0]
+        lanes = jnp.arange(L)
+        hmap4 = st["hmap4"]
+        yi = y.astype(I32)
+        yu = y.astype(U32)
+        for i, cp in enumerate(self.comps):
+            t = cp[0]
+            if t == T.CM:
+                self._train(st, i, cp[1], cp[2] * 4, y)
+            elif t == T.ICM:
+                ht = st[f"ht{i}"]
+                idx = (st[f"c{i}"] + (hmap4 & 15)).astype(I32)
+                old = _gather(ht, idx)
+                st[f"ht{i}"] = ht.at[lanes, idx].set(
+                    _SNS[old.astype(I32) * 4 + yi])
+                cm = st[f"cm{i}"]
+                cxt = st[f"cxt{i}"].astype(I32)
+                pn = _gather(cm, cxt)
+                delta = ((yi * 32767 - (pn >> 8).astype(I32)) >> 2).astype(U32)
+                st[f"cm{i}"] = cm.at[lanes, cxt].set(pn + delta)
+            elif t == T.MATCH:
+                ht, cm = st[f"ht{i}"], st[f"cm{i}"]
+                mask = np.uint32(ht.shape[1] - 1)
+                cmmask = np.uint32(cm.shape[1] - 1)
+                a = st[f"a{i}"]
+                a = jnp.where(st[f"c{i}"] != yu, jnp.zeros_like(a), a)
+                pos = st[f"lim{i}"]
+                widx = (pos & mask).astype(I32)
+                old = _gather(ht, widx).astype(U32)
+                st[f"ht{i}"] = ht.at[lanes, widx].set(
+                    ((old * 2 + yu) & 255).astype(U8))
+                ht = st[f"ht{i}"]
+                if phase == 7:  # byte boundary (cxt would reach 8)
+                    pos1 = (pos + 1) & mask
+                    hidx = (st["h"][:, i] & cmmask).astype(I32)
+                    b_new = pos1 - _gather(cm, hidx)
+                    b = jnp.where(a == 0, b_new, st[f"b{i}"])
+                    need_scan = (a == 0) & ((b_new & mask) != 0)
+
+                    def scan_cond(carry):
+                        _, active = carry
+                        return jnp.any(active)
+
+                    def scan_body(carry):
+                        a_, active = carry
+                        i1 = ((pos1 - a_ - 1) & mask).astype(I32)
+                        i2 = ((pos1 - a_ - b - 1) & mask).astype(I32)
+                        eq = _gather(ht, i1) == _gather(ht, i2)
+                        grow = active & eq & (a_ < 255)
+                        return a_ + grow.astype(U32), grow
+
+                    a_scan, _ = jax.lax.while_loop(
+                        scan_cond, scan_body,
+                        (jnp.zeros_like(a), need_scan))
+                    a = jnp.where(a == 0,
+                                  jnp.where(need_scan, a_scan,
+                                            jnp.zeros_like(a)),
+                                  jnp.minimum(a + 1, 255))
+                    st[f"cm{i}"] = cm.at[lanes, hidx].set(pos1)
+                    st[f"b{i}"] = b
+                    st[f"lim{i}"] = pos1
+                    st[f"cxt{i}"] = jnp.zeros_like(pos1)
+                else:
+                    st[f"cxt{i}"] = st[f"cxt{i}"] + 1
+                st[f"a{i}"] = a
+            elif t == T.MIX2:
+                err = ((yi * 32767 - _SQUASHT[p[i] + 2048]) * cp[4]) >> 5
+                a16 = st[f"a16{i}"]
+                cxt = st[f"cxt{i}"].astype(I32)
+                w = _gather(a16, cxt)
+                w = w + ((err * (p[cp[2]] - p[cp[3]]) + (1 << 12)) >> 13)
+                st[f"a16{i}"] = a16.at[lanes, cxt].set(jnp.clip(w, 0, 65535))
+            elif t == T.MIX:
+                m = cp[3]
+                err = ((yi * 32767 - _SQUASHT[p[i] + 2048]) * cp[4]) >> 4
+                cm = st[f"cm{i}"]
+                cols = st[f"cxt{i}"].astype(I32)[:, None] + jnp.arange(m)[None, :]
+                wt = jnp.take_along_axis(cm, cols, axis=1)
+                pin = jnp.stack([p[cp[2] + j] for j in range(m)], axis=1)
+                wt2 = _clamp512k(wt + ((err[:, None] * pin + (1 << 12)) >> 13))
+                st[f"cm{i}"] = cm.at[lanes[:, None], cols].set(wt2)
+            elif t == T.ISSE:
+                err = yi * 32767 - _SQUASHT[p[i] + 2048]
+                cm = st[f"cm{i}"]
+                cxt = st[f"cxt{i}"].astype(I32)
+                w0 = _gather(cm, cxt * 2)
+                w1 = _gather(cm, cxt * 2 + 1)
+                w0n = _clamp512k(w0 + ((err * p[cp[2]] + (1 << 12)) >> 13))
+                w1n = _clamp512k(w1 + ((err + 16) >> 5))
+                cm = cm.at[lanes, cxt * 2].set(w0n)
+                st[f"cm{i}"] = cm.at[lanes, cxt * 2 + 1].set(w1n)
+                ht = st[f"ht{i}"]
+                idx = (st[f"c{i}"] + (hmap4 & 15)).astype(I32)
+                st[f"ht{i}"] = ht.at[lanes, idx].set(_SNS[cxt * 4 + yi])
+            elif t == T.SSE:
+                self._train(st, i, cp[1], cp[4] * 4, y)
+        # ---- advance partial-byte state (static branch per phase)
+        c8 = st["c8"] * 2 + yu
+        if phase == 7:
+            byte = (c8 - 256).astype(U32)
+            vm = self.vm.run(st["vm"], byte)
+            st["vm"] = vm
+            st["c8"] = jnp.ones(L, U32)
+            st["hmap4"] = jnp.ones(L, U32)
+            cols = np.array([i & self.hmask for i in range(max(self.n, 1))])
+            st["h"] = vm.h[:, cols]
+        else:
+            st["c8"] = c8
+            if phase == 3:  # c8 lands in 16..31
+                st["hmap4"] = (hmap4 & 15) << 5 | yu << 4 | 1
+            else:
+                st["hmap4"] = (hmap4 & np.uint32(0x1F0)) | (
+                    ((hmap4 & 15) * 2 + yu) & 15)
+        return st
