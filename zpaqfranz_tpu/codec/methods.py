@@ -1,0 +1,341 @@
+"""Method strings -> compression models (the reference's makeConfig).
+
+Implements the documented method-string grammar (reference spec:
+/root/reference/ZSFX/libzpaq.h:86-283):
+
+    {0..5,x,s}[N1[{.,}N2]...] [letter[args]...]
+
+A leading digit 0..5 selects a compression level preset; "x" describes the
+exact method: its numeric arguments select the preprocessor (N2: 0=none,
+1=packed LZ77, 2=byte LZ77, 3=BWT, +4=E8E9 first) and the remaining letter
+commands build the context-mixing component graph:
+
+    c = CM/ICM   i = ISSE chain   a = MATCH   w = word model
+    m = MIX      s = SSE          t = MIX2
+
+The generated HCOMP context code reproduces the reference generator's
+instruction patterns byte-for-byte where observable (validated against the
+-m5 model embedded in the golden archive /root/reference/AUTOTEST/
+sha256.zpaq: 23 components, 170-byte HCOMP — see tests/test_methods.py).
+
+The implementation is a clean-room reconstruction: the reference's makeConfig
+lives only in the absent zpaqfranz.cpp; behavior here follows the libzpaq.h
+doc comment plus the golden archive's embedded model.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+from ..zpaql.compiler import compile_config
+from ..zpaql.header import Model
+
+
+class MethodError(ValueError):
+    pass
+
+
+@dataclass
+class PreSpec:
+    """Preprocessor selection decoded from the x-command arguments."""
+
+    transform: int = 0        # 0 none, 1 packed LZ77, 2 byte LZ77, 3 BWT
+    e8e9: bool = False
+    block_bits: int = 24      # log2 max block size in bytes (N1 + 20)
+    min_match: int = 0        # N3
+    min_match2: int = 0       # N4 secondary context order (0 = off)
+    depth_log: int = 0        # N5 log search depth
+    hash_bits: int = 0        # N6 log hash table size (N1+21 = suffix array)
+    lookahead: int = 0        # N7
+
+    @property
+    def use_sa(self) -> bool:
+        return self.hash_bits == self.block_bits + 1  # N6 == N1 + 21
+
+
+def parse_method(method: str) -> List[Tuple[str, List[int]]]:
+    """Split a method string into (command letter, [numeric args])."""
+    out = []
+    for m in re.finditer(r"([a-zA-Z])((?:-?\d+[.,]?)*)", method):
+        letter = m.group(1)
+        nums = [int(x) for x in re.findall(r"-?\d+", m.group(2))]
+        out.append((letter, nums))
+    if not out or method[0].isdigit():
+        nums = [int(x) for x in re.findall(r"-?\d+", method)]
+        if method[0].isdigit():
+            return [(method[0], nums[1:] if nums else [])] + out
+    return out
+
+
+def _arg(args: List[int], i: int, default: int = 0) -> int:
+    return args[i] if i < len(args) and args[i] is not None else default
+
+
+class _ModelBuilder:
+    """Accumulates COMP entries + HCOMP config text for the letter commands.
+
+    Component sizing policy (table bytes ~= block size, per the spec's
+    "Most components use no more memory than the block size"): ICM/ISSE
+    tables are 64*2^s bytes so the cap is membits-6; CM tables 4*2^s so
+    membits-2. Per-component bits grow with modeled context bytes
+    (validated against the golden -m5 model's sizes).
+    """
+
+    def __init__(self, membits: int):
+        self.membits = membits
+        self.comps: List[str] = []        # "icm 18" etc
+        self.hcomp: List[str] = []        # config-language tokens
+        self.bytes_modeled: List[float] = []   # context bytes per component
+
+    @property
+    def n(self) -> int:
+        return len(self.comps)
+
+    def _cap_icm(self) -> int:
+        return max(5, self.membits - 6)
+
+    def _emit(self, *toks: str) -> None:
+        self.hcomp.extend(toks)
+
+    # ---- context-byte walkers -------------------------------------------
+    def _emit_masked_bytes(self, masks: List[int], target_d: int) -> float:
+        """b=c; hashd each masked history byte into H[target_d]."""
+        nbytes = 0.0
+        self._emit("b=c")
+        for j, m in enumerate(masks):
+            if j > 0:
+                self._emit("b++")
+            if m == 0:
+                continue
+            self._emit("a=*b")
+            if m != 255:
+                self._emit(f"a&= {m}")
+                nbytes += bin(m).count("1") / 8.0
+            else:
+                nbytes += 1.0
+            self._emit("hashd")
+        return nbytes
+
+    # ---- letter commands ------------------------------------------------
+    def cmd_c(self, args: List[int]) -> None:
+        n1 = _arg(args, 0)          # 0 = ICM, 1..256 = CM limit, +1000 halves
+        halve = 0
+        while n1 >= 1000:
+            halve += 1
+            n1 -= 1000
+        n2 = _arg(args, 1)          # counter / distance-to-byte context
+        masks = args[2:]            # order 0.. context byte masks
+        i = self.n
+        ctx_bits = 0.0
+        self._emit(f"d= {i}", "*d=0")
+        if 1 <= n2 <= 255:          # offset mod n2
+            self._emit("a=c")
+            if n2 & (n2 - 1) == 0:
+                self._emit(f"a&= {n2 - 1}")
+            else:
+                self._emit(f"a%= {n2}")
+            self._emit("hashd")
+            ctx_bits += max(1, n2.bit_length() - 1)  # floor(log2(n2))
+        elif n2 >= 1000:            # distance to last byte value n2-1000
+            v = n2 - 1000
+            self._emit(f"a= {v & 255}", "a+= 255", "d=a", "a=*d")
+            self._emit("a!", "a++", "a+=c")           # a = c - lastpos
+            self._emit(f"d= {i}", "hashd")
+            ctx_bits += 8
+        if any(masks):
+            ctx_bits += 8 * self._emit_masked_bytes(masks, i)
+        if n1 == 0:
+            size = min(self._cap_icm(), max(5, 4 + int(ctx_bits))) - halve
+            self.comps.append(f"icm {max(size, 1)}")
+        else:
+            size = min(self.membits - 2, 9 + int(ctx_bits)) - halve
+            self.comps.append(f"cm {max(size, 1)} {min(n1, 256) - 1}")
+        # chain sizing counts whole context items (a counter or any masked
+        # byte each count 1 — validated against the golden -m5 ISSE sizes)
+        n_items = (1 if n2 else 0) + sum(1 for m in masks if m)
+        self.bytes_modeled.append(float(n_items))
+
+    def cmd_i(self, args: List[int]) -> None:
+        """ISSE chain: increments relative to the previous component."""
+        if self.n == 0:
+            raise MethodError("'i' needs a preceding component")
+        base = self.n - 1
+        order = self.bytes_modeled[base]
+        self._emit(f"d= {base}", "b=c", "a=*d")
+        for k, inc in enumerate(args):
+            last = k == len(args) - 1
+            self._emit("d++")
+            for j in range(inc):
+                self._emit("hash")
+                if not (last and j == inc - 1):
+                    self._emit("b++")
+            self._emit("*d=a")
+            order += inc
+            size = min(self._cap_icm(), int(5 + order * 6))
+            self.comps.append(f"isse {size} {self.n - 1}")
+            self.bytes_modeled.append(order)
+
+    def cmd_a(self, args: List[int]) -> None:
+        mult = _arg(args, 0, 24)
+        bufhalve = _arg(args, 1)
+        hashhalve = _arg(args, 2)
+        i = self.n
+        self._emit(f"d= {i}", "a=*d", f"a*= {mult}", "a+=*c", "a++", "*d=a")
+        cmbits = max(4, self.membits - 2 - hashhalve)
+        bufbits = max(4, self.membits - bufhalve)
+        self.comps.append(f"match {cmbits} {bufbits}")
+        self.bytes_modeled.append(mult / 8.0)
+
+    def cmd_w(self, args: List[int]) -> None:
+        length = _arg(args, 0, 1)
+        lo = _arg(args, 1, 65)
+        rng = _arg(args, 2, 26)
+        msk = _arg(args, 3, 223)
+        mult = _arg(args, 4, 20)
+        halve = _arg(args, 5, 0)
+        i = self.n
+        self._emit("a=*c", f"a&= {msk}", f"a-= {lo & 255}", "a&= 255",
+                   f"a< {rng}", "if",
+                   f"d= {i}", "a=*d", f"a*= {mult}", "a+=*c", "a++", "*d=a",
+                   "else", f"d= {i}", "*d=0", "endif")
+        size = self._cap_icm() - halve
+        self.comps.append(f"icm {size}")
+        self.bytes_modeled.append(8.0)
+        if length > 1:
+            # ISSE chain over the word context + following bytes
+            self._emit(f"d= {i}", "b=c", "a=*d")
+            for k in range(length - 1):
+                last = k == length - 2
+                self._emit("d++", "hash")
+                if not last:
+                    self._emit("b++")
+                self._emit("*d=a")
+                self.comps.append(f"isse {size} {self.n - 1}")
+                self.bytes_modeled.append(8.0 + k + 1)
+
+    def _emit_high_context(self, bits: int, i: int) -> None:
+        """H[i] = top (bits-8) context bits above c8's 8, shifted left 8."""
+        upper = bits - 8
+        if upper <= 0:
+            return                      # H[i] stays 0; c8 supplies the bits
+        nb = (upper + 7) // 8
+        self._emit(f"d= {i}", "*d=0", "b=c", "a=0")
+        for j in range(nb):
+            self._emit("a<<= 8", "a+=*b")
+            if j < nb - 1:
+                self._emit("b++")
+        if upper % 8:
+            self._emit(f"a>>= {8 - upper % 8}")
+        self._emit("a<<= 8", "*d=a")
+
+    def cmd_m(self, args: List[int]) -> None:
+        bits = _arg(args, 0, 8)
+        rate = _arg(args, 1, 24)
+        i = self.n
+        self._emit_high_context(bits, i)
+        self.comps.append(f"mix {bits} 0 {i} {rate} 255")
+        self.bytes_modeled.append(bits / 8.0)
+
+    def cmd_t(self, args: List[int]) -> None:
+        bits = _arg(args, 0, 8)
+        rate = _arg(args, 1, 24)
+        i = self.n
+        if i < 2:
+            raise MethodError("'t' needs two preceding components")
+        self._emit_high_context(bits, i)
+        self.comps.append(f"mix2 {bits} {i - 1} {i - 2} {rate} 255")
+        self.bytes_modeled.append(bits / 8.0)
+
+    def cmd_s(self, args: List[int]) -> None:
+        bits = _arg(args, 0, 8)
+        start = _arg(args, 1, 32)
+        limit = _arg(args, 2, 255)
+        i = self.n
+        if i < 1:
+            raise MethodError("'s' needs a preceding component")
+        self._emit_high_context(bits, i)
+        self.comps.append(f"sse {bits} {i - 1} {start} {limit}")
+        self.bytes_modeled.append(bits / 8.0)
+
+    # ---------------------------------------------------------------------
+    def build_config(self) -> str:
+        n = self.n
+        lines = [f"comp 9 16 0 0 {n}"]
+        for i, c in enumerate(self.comps):
+            lines.append(f"  {i} {c}")
+        body = ["hcomp"]
+        if n:
+            # rotating history buffer + last-position-of-byte table
+            body += ["c--", "*c=a", "a+= 255", "d=a", "*d=c"]
+            body += self.hcomp
+        body.append("halt")
+        lines.append(" ".join(body))
+        lines.append("post 0 end")
+        return "\n".join(lines)
+
+
+# ---- level presets ------------------------------------------------------
+
+def level_method(level: int, block_arg: int = 4, ease: int = 128,
+                 dtype: int = 0) -> str:
+    """Expand a digit level 0..5 into a full x-method string.
+
+    The exact reference expansions live in the absent zpaqfranz.cpp; these
+    presets follow the spec's documented examples (libzpaq.h:100-103,
+    156-168, 189, 278) and the golden archive's embedded -m5 model.
+    """
+    b = block_arg
+    e89 = 4 if dtype in (2, 3) else 0
+    if level == 0:
+        return f"x{b}.0"
+    if level == 1:                      # fast packed LZ77, store-coded
+        return f"x{b}.{1 + e89}.5.0.3.22"
+    if level == 2:                      # stronger LZ77, same decode speed
+        return f"x{b}.{1 + e89}.4.0.7.{min(b + 21, 24)}"
+    if level == 3:                      # BWT + low-order chain
+        return f"x{b}.{3 + e89}ci1"
+    if level == 4:                      # CM: order chain + match + word
+        return f"x{b}.{0 + e89}ci1.1.1.1.2aw2mm16tst"
+    if level == 5:                      # max: the golden -m5 structure
+        return (f"x{b}.{0 + e89}w2c256ci1.1.1.1.1.1.2a"
+                f"c0.2.0.255i1c0.3.0.0.255i1c0.4.0.0.0.255i1mm16ts19t0")
+    raise MethodError(f"unknown level {level}")
+
+
+def make_model(method: str, n_components_hint: Optional[int] = None
+               ) -> Tuple[Optional[Model], PreSpec]:
+    """Compile a method string into (Model or None for store, PreSpec)."""
+    cmds = parse_method(method)
+    if not cmds:
+        raise MethodError(f"empty method {method!r}")
+    letter, args = cmds[0]
+    if letter.isdigit():
+        method = level_method(int(letter), _arg(args, 0, 4), _arg(args, 1, 128),
+                              _arg(args, 2, 0))
+        cmds = parse_method(method)
+        letter, args = cmds[0]
+    if letter not in ("x", "s"):
+        raise MethodError(f"method must start with a level digit or x: {method!r}")
+
+    block_arg = _arg(args, 0, 4)
+    n2 = _arg(args, 1, 0)
+    pre = PreSpec(
+        transform=n2 & 3, e8e9=bool(n2 & 4), block_bits=block_arg + 20,
+        min_match=_arg(args, 2, 0), min_match2=_arg(args, 3, 0),
+        depth_log=_arg(args, 4, 0), hash_bits=_arg(args, 5, 0),
+        lookahead=_arg(args, 6, 0),
+    )
+
+    builder = _ModelBuilder(membits=block_arg + 20)
+    for letter, largs in cmds[1:]:
+        fn = getattr(builder, f"cmd_{letter.lower()}", None)
+        if fn is None:
+            raise MethodError(f"unknown component command {letter!r}")
+        fn(largs)
+
+    if builder.n == 0:
+        return None, pre                # store mode (n=0 block)
+    model, _ = compile_config(builder.build_config())
+    return model, pre

@@ -141,9 +141,7 @@ class BatchedPredictor:
                 st[f"ht{i}"] = jnp.zeros((L, 64 << cp[1]), U8)
             elif t == T.MATCH:
                 st[f"cm{i}"] = jnp.zeros((L, 1 << cp[1]), U32)
-                ht = np.zeros((L, 1 << cp[2]), np.uint8)
-                ht[:, 0] = 1
-                st[f"ht{i}"] = jnp.asarray(ht)
+                st[f"ht{i}"] = jnp.zeros((L, 1 << cp[2]), U8).at[:, 0].set(1)
             elif t == T.MIX2:
                 st[f"a16{i}"] = jnp.full((L, 1 << cp[1]), 32768, I32)
             elif t == T.MIX:
@@ -151,20 +149,19 @@ class BatchedPredictor:
                 st[f"cm{i}"] = jnp.full((L, m << cp[1]), 65536 // m, I32)
             elif t == T.ISSE:
                 st[f"ht{i}"] = jnp.zeros((L, 64 << cp[1]), U8)
-                wt = np.zeros((L, 512), np.int32)
-                wt[:, 0::2] = 1 << 15
-                init1 = np.clip(
+                wt = np.zeros(512, np.int32)
+                wt[0::2] = 1 << 15
+                wt[1::2] = np.clip(
                     T.STRETCHT[(T.CMINIT >> 8).astype(np.int64)].astype(np.int64)
                     * 1024, -(1 << 19), (1 << 19) - 1).astype(np.int32)
-                wt[:, 1::2] = init1[None, :]
-                st[f"cm{i}"] = jnp.asarray(wt)
+                st[f"cm{i}"] = jnp.broadcast_to(jnp.asarray(wt), (L, 512)) + 0
             elif t == T.SSE:
-                row = np.empty(32 << cp[1], np.uint32)
-                for j in range(32):
-                    row[j::32] = (np.uint32(T.SQUASHT[j * 64 - 992 + 2048])
-                                  << 17) | np.uint32(cp[3])
-                st[f"cm{i}"] = jnp.broadcast_to(jnp.asarray(row),
-                                                (L, row.size)) + 0
+                # row[k] = (squash((k%32)*64 - 992) << 17) | start
+                base = np.array(
+                    [(np.uint32(T.SQUASHT[j * 64 - 992 + 2048]) << 17)
+                     | np.uint32(cp[3]) for j in range(32)], np.uint32)
+                row = jnp.tile(jnp.asarray(base), (32 << cp[1]) // 32)
+                st[f"cm{i}"] = jnp.broadcast_to(row, (L, 32 << cp[1])) + 0
         return st
 
     # ------------------------------------------------------------------
