@@ -1,0 +1,873 @@
+// tzpaq: native host engine implementation.
+//
+// Clean-room ZPAQ Level-2 codec (spec: http://mattmahoney.net/zpaq/, public
+// domain). Behavior mirrors the validated Python oracle in
+// zpaqfranz_tpu/{zpaql/vm.py, models/predictor.py, codec/container.py,
+// codec/writer.py}; reference line cites point at /root/reference/ZSFX/
+// libzpaq.cpp for the semantics each piece must honor.
+
+#include "tzpaq.h"
+
+#include <cassert>
+
+namespace tzpaq {
+
+Tables g_tab;
+
+// Tables are installed from Python (models/tables.py) rather than rebuilt
+// here so there is exactly one source of truth for the format constants.
+extern "C" void tz_install_tables(const u8* sns, const u32* cminit,
+                                  const u16* squasht, const int16_t* stretcht,
+                                  const i32* dt, const i32* dt2k) {
+  memcpy(g_tab.sns, sns, 1024);
+  memcpy(g_tab.cminit, cminit, 256 * 4);
+  memcpy(g_tab.squasht, squasht, 4096 * 2);
+  memcpy(g_tab.stretcht, stretcht, 32768 * 2);
+  memcpy(g_tab.dt, dt, 1024 * 4);
+  memcpy(g_tab.dt2k, dt2k, 256 * 4);
+  g_tab.ready = true;
+}
+
+// ---- SHA-1 (FIPS 180-1, clean-room; fragment checksums) -------------------
+void SHA1::init() {
+  len = 0;
+  h[0] = 0x67452301; h[1] = 0xEFCDAB89; h[2] = 0x98BADCFE;
+  h[3] = 0x10325476; h[4] = 0xC3D2E1F0;
+}
+
+static inline u32 rol(u32 x, int k) { return (x << k) | (x >> (32 - k)); }
+
+void SHA1::block(const u8* p) {
+  u32 w[80];
+  for (int i = 0; i < 16; ++i)
+    w[i] = (u32(p[i * 4]) << 24) | (u32(p[i * 4 + 1]) << 16)
+         | (u32(p[i * 4 + 2]) << 8) | p[i * 4 + 3];
+  for (int i = 16; i < 80; ++i)
+    w[i] = rol(w[i - 3] ^ w[i - 8] ^ w[i - 14] ^ w[i - 16], 1);
+  u32 a = h[0], b = h[1], c = h[2], d = h[3], e = h[4];
+  for (int i = 0; i < 80; ++i) {
+    u32 f, k;
+    if (i < 20)      f = (b & c) | (~b & d),        k = 0x5A827999;
+    else if (i < 40) f = b ^ c ^ d,                 k = 0x6ED9EBA1;
+    else if (i < 60) f = (b & c) | (b & d) | (c & d), k = 0x8F1BBCDC;
+    else             f = b ^ c ^ d,                 k = 0xCA62C1D6;
+    u32 t = rol(a, 5) + f + e + k + w[i];
+    e = d; d = c; c = rol(b, 30); b = a; a = t;
+  }
+  h[0] += a; h[1] += b; h[2] += c; h[3] += d; h[4] += e;
+}
+
+void SHA1::update(const u8* p, size_t n) {
+  size_t fill = len % 64;
+  len += n;
+  if (fill) {
+    size_t take = 64 - fill < n ? 64 - fill : n;
+    memcpy(buf + fill, p, take);
+    p += take; n -= take; fill += take;
+    if (fill == 64) block(buf);
+    else return;
+  }
+  while (n >= 64) { block(p); p += 64; n -= 64; }
+  if (n) memcpy(buf, p, n);
+}
+
+void SHA1::final(u8* out20) {
+  u64 bits = len * 8;
+  u8 pad = 0x80;
+  update(&pad, 1);
+  u8 z = 0;
+  while (len % 64 != 56) update(&z, 1);
+  u8 lb[8];
+  for (int i = 0; i < 8; ++i) lb[i] = u8(bits >> (56 - 8 * i));
+  update(lb, 8);
+  for (int i = 0; i < 5; ++i) {
+    out20[i * 4] = u8(h[i] >> 24); out20[i * 4 + 1] = u8(h[i] >> 16);
+    out20[i * 4 + 2] = u8(h[i] >> 8); out20[i * 4 + 3] = u8(h[i]);
+  }
+  init();
+}
+
+// ---- ZPAQL VM (reference semantics: libzpaq.cpp:1033-1254) ----------------
+void VM::init(const u8* prog, size_t proglen, int hbits, int mbits) {
+  code.assign(prog, prog + proglen);
+  h.assign(size_t(1) << hbits, 0);
+  m.assign(size_t(1) << mbits, 0);
+  r.assign(256, 0);
+  hmask = u32((size_t(1) << hbits) - 1);
+  mmask = u32((size_t(1) << mbits) - 1);
+  a = b = c = d = 0; f = 0;
+}
+
+void VM::run(u32 input) {
+  a = input;
+  size_t pc = 0;
+  const size_t n = code.size();
+  for (;;) {
+    if (pc >= n) throw format_error("ZPAQL pc out of range");
+    int op = code[pc++];
+    switch (op) {
+      case 56: return;                                   // HALT
+      case 0: throw format_error("ZPAQL ERROR instruction");
+      case 255: {                                        // LJ
+        pc = code[pc] + 256 * code[pc + 1];
+        if (pc >= n) throw format_error("LJ out of range");
+        continue;
+      }
+      case 39: pc += f ? ((code[pc] + 128) & 255) - 127 : 1; continue;  // JT
+      case 47: pc += f ? 1 : ((code[pc] + 128) & 255) - 127; continue;  // JF
+      case 63: pc += ((code[pc] + 128) & 255) - 127; continue;          // JMP
+      case 55: r[code[pc]] = a; ++pc; continue;          // R=A n
+      case 57: if (out) out->put(a & 255); continue;     // OUT
+      case 59: a = (a + m[b & mmask] + 512) * 773; continue;       // HASH
+      case 60: h[d & hmask] = (h[d & hmask] + a + 512) * 773; continue;  // HASHD
+      default: break;
+    }
+    auto get = [&](int s, u32 imm) -> u32 {
+      switch (s) {
+        case 0: return a; case 1: return b; case 2: return c; case 3: return d;
+        case 4: return m[b & mmask]; case 5: return m[c & mmask];
+        case 6: return h[d & hmask]; default: return imm;
+      }
+    };
+    auto set = [&](int dd, u32 v) {
+      switch (dd) {
+        case 0: a = v; break; case 1: b = v; break;
+        case 2: c = v; break; case 3: d = v; break;
+        case 4: m[b & mmask] = u8(v); break;
+        case 5: m[c & mmask] = u8(v); break;
+        case 6: h[d & hmask] = v; break;
+      }
+    };
+    if (op < 64) {                       // unary group 00dddxxx
+      int ddd = op >> 3, xxx = op & 7;
+      switch (xxx) {
+        case 0: {                        // swap with A
+          u32 v = get(ddd, 0);
+          if (ddd == 4 || ddd == 5) {
+            set(ddd, a);
+            a = (a & ~0xFFu) | (v & 0xFF);
+          } else {
+            set(ddd, a);
+            a = v;
+          }
+          break;
+        }
+        case 1: set(ddd, get(ddd, 0) + 1); break;
+        case 2: set(ddd, get(ddd, 0) - 1); break;
+        case 3: set(ddd, ~get(ddd, 0)); break;
+        case 4: set(ddd, 0); break;
+        case 7: set(ddd, r[code[pc]]); ++pc; break;
+        default: throw format_error("bad ZPAQL opcode");
+      }
+    } else if (op < 128) {               // assignment 01dddsss
+      int ddd = (op >> 3) & 7, sss = op & 7;
+      u32 imm = 0;
+      if (sss == 7) imm = code[pc++];
+      if (ddd == 7) throw format_error("bad ZPAQL opcode");
+      set(ddd, get(sss, imm));
+    } else {                             // binary 1xxxxsss into A
+      int xxxx = (op >> 3) & 15, sss = op & 7;
+      u32 imm = 0;
+      if (sss == 7) imm = code[pc++];
+      u32 v = get(sss, imm);
+      switch (xxxx) {
+        case 0: a += v; break;   case 1: a -= v; break;
+        case 2: a *= v; break;
+        case 3: a = v ? a / v : 0; break;
+        case 4: a = v ? a % v : 0; break;
+        case 5: a &= v; break;   case 6: a &= ~v; break;
+        case 7: a |= v; break;   case 8: a ^= v; break;
+        case 9: a <<= (v & 31); break;
+        case 10: a >>= (v & 31); break;
+        case 11: f = (a == v); break;
+        case 12: f = (a < v); break;
+        case 13: f = (a > v); break;
+        default: throw format_error("bad ZPAQL opcode");
+      }
+    }
+  }
+}
+
+// ---- header parse (libzpaq.cpp:879-921 layout) ----------------------------
+static const int COMPSIZE[10] = {0, 2, 3, 2, 3, 4, 6, 6, 3, 5};
+
+size_t Header::parse(const u8* data, size_t lenav) {
+  if (lenav < 7) throw format_error("truncated header");
+  size_t p = 0;
+  size_t hsize = data[0] + 256 * data[1];
+  p = 2;
+  size_t end = p + hsize;
+  if (end > lenav) throw format_error("truncated header body");
+  hh = data[p]; hm = data[p + 1]; ph = data[p + 2]; pm = data[p + 3];
+  int nc = data[p + 4];
+  p += 5;
+  comps.clear();
+  for (int i = 0; i < nc; ++i) {
+    int t = data[p];
+    if (t < 1 || t > 9) throw format_error("invalid component type");
+    comps.emplace_back(data + p, data + p + COMPSIZE[t]);
+    p += COMPSIZE[t];
+  }
+  if (data[p] != 0) throw format_error("missing COMP end");
+  ++p;
+  hcomp.assign(data + p, data + end - 1);
+  if (data[end - 1] != 0) throw format_error("missing HCOMP end");
+  return end;
+}
+
+// ---- Predictor (libzpaq.cpp:1715-2080) ------------------------------------
+enum { NONE, CONS, CM, ICM, MATCH, AVG, MIX2, MIX, ISSE, SSE };
+
+void Predictor::init(const Header& hd) {
+  if (!g_tab.ready) throw format_error("tables not installed");
+  hdr = hd;
+  z.init(hd.hcomp.data(), hd.hcomp.size(), hd.hh, hd.hm);
+  c8 = 1; hmap4 = 1;
+  memset(p, 0, sizeof(p));
+  memset(h, 0, sizeof(h));
+  for (int i = 0; i < hd.n(); ++i) {
+    Comp& cr = comp[i];
+    cr = Comp();
+    const std::vector<u8>& cp = hd.comps[i];
+    switch (cp[0]) {
+      case CONS: p[i] = (cp[1] - 128) * 4; break;
+      case CM:
+        if (cp[1] > 32) throw format_error("max size for CM is 32");
+        cr.cm.assign(size_t(1) << cp[1], 0x80000000u);
+        cr.limit = cp[2] * 4;
+        break;
+      case ICM:
+        if (cp[1] > 26) throw format_error("max size for ICM is 26");
+        cr.limit = 1023;
+        cr.cm.assign(g_tab.cminit, g_tab.cminit + 256);
+        cr.ht.assign(size_t(64) << cp[1], 0);
+        break;
+      case MATCH:
+        cr.cm.assign(size_t(1) << cp[1], 0);
+        cr.ht.assign(size_t(1) << cp[2], 0);
+        cr.ht[0] = 1;
+        break;
+      case AVG:
+        if (cp[1] >= i || cp[2] >= i) throw format_error("AVG input >= i");
+        break;
+      case MIX2:
+        if (cp[2] >= i || cp[3] >= i) throw format_error("MIX2 input >= i");
+        cr.c = size_t(1) << cp[1];
+        cr.a16.assign(size_t(1) << cp[1], 32768);
+        break;
+      case MIX: {
+        int mm = cp[3];
+        if (cp[2] >= i || mm < 1 || mm > i - cp[2])
+          throw format_error("bad MIX inputs");
+        cr.c = size_t(1) << cp[1];
+        cr.cm.assign(size_t(mm) << cp[1], 65536 / mm);
+        break;
+      }
+      case ISSE:
+        if (cp[2] >= i) throw format_error("ISSE input >= i");
+        cr.ht.assign(size_t(64) << cp[1], 0);
+        cr.cm.resize(512);
+        for (int j = 0; j < 256; ++j) {
+          cr.cm[j * 2] = 1 << 15;
+          cr.cm[j * 2 + 1] =
+              u32(clamp512k(stretch(int(g_tab.cminit[j] >> 8)) * 1024));
+        }
+        break;
+      case SSE:
+        if (cp[2] >= i) throw format_error("SSE input >= i");
+        if (cp[3] > cp[4] * 4) throw format_error("SSE start > limit*4");
+        cr.cm.resize(size_t(32) << cp[1]);
+        cr.limit = cp[4] * 4;
+        for (size_t j = 0; j < cr.cm.size(); ++j)
+          cr.cm[j] = (u32(squash(int(j & 31) * 64 - 992)) << 17) | cp[3];
+        break;
+      default: throw format_error("unknown component type");
+    }
+  }
+}
+
+size_t Predictor::find(std::vector<u8>& ht, int sizebits, u32 cxt) {
+  // 16-byte rows, 3-way probe, LRU-ish replace (libzpaq.cpp:2060-2080)
+  int chk = (cxt >> sizebits) & 255;
+  size_t h0 = (cxt * 16) & (ht.size() - 16);
+  if (ht[h0] == chk) return h0;
+  size_t h1 = h0 ^ 16;
+  if (ht[h1] == chk) return h1;
+  size_t h2 = h0 ^ 32;
+  if (ht[h2] == chk) return h2;
+  size_t hx;
+  if (ht[h0 + 1] <= ht[h1 + 1] && ht[h0 + 1] <= ht[h2 + 1]) hx = h0;
+  else if (ht[h1 + 1] < ht[h2 + 1]) hx = h1;
+  else hx = h2;
+  memset(&ht[hx], 0, 16);
+  ht[hx] = u8(chk);
+  return hx;
+}
+
+int Predictor::predict() {
+  int n = hdr.n();
+  for (int i = 0; i < n; ++i) {
+    Comp& cr = comp[i];
+    const std::vector<u8>& cp = hdr.comps[i];
+    switch (cp[0]) {
+      case CONS: break;
+      case CM:
+        cr.cxt = (h[i] ^ u32(hmap4)) & (cr.cm.size() - 1);
+        p[i] = stretch(int(cr.cm[cr.cxt] >> 17));
+        break;
+      case ICM:
+        if (c8 == 1 || (c8 & 0xf0) == 16)
+          cr.c = find(cr.ht, cp[1] + 2, h[i] + 16 * u32(c8));
+        cr.cxt = cr.ht[cr.c + (hmap4 & 15)];
+        p[i] = stretch(int(cr.cm[cr.cxt]) >> 8);
+        break;
+      case MATCH:
+        if (cr.a == 0) p[i] = 0;
+        else {
+          cr.c = (cr.ht[(cr.limit - cr.b) & (cr.ht.size() - 1)] >>
+                  (7 - cr.cxt)) & 1;
+          p[i] = stretch((g_tab.dt2k[cr.a] * (int(cr.c) * -2 + 1)) & 32767);
+        }
+        break;
+      case AVG:
+        p[i] = (p[cp[1]] * cp[3] + p[cp[2]] * (256 - cp[3])) >> 8;
+        break;
+      case MIX2: {
+        cr.cxt = (h[i] + (c8 & cp[5])) & (cr.c - 1);
+        int w = cr.a16[cr.cxt];
+        p[i] = (w * p[cp[2]] + (65536 - w) * p[cp[3]]) >> 16;
+        break;
+      }
+      case MIX: {
+        int mm = cp[3];
+        cr.cxt = ((h[i] + (c8 & cp[5])) & (cr.c - 1)) * mm;
+        const i32* wt = (const i32*)&cr.cm[cr.cxt];
+        int sum = 0;
+        for (int j = 0; j < mm; ++j) sum += (wt[j] >> 8) * p[cp[2] + j];
+        p[i] = clamp2k(sum >> 8);
+        break;
+      }
+      case ISSE: {
+        if (c8 == 1 || (c8 & 0xf0) == 16)
+          cr.c = find(cr.ht, cp[1] + 2, h[i] + 16 * u32(c8));
+        cr.cxt = cr.ht[cr.c + (hmap4 & 15)];
+        const i32* wt = (const i32*)&cr.cm[cr.cxt * 2];
+        p[i] = clamp2k((wt[0] * p[cp[2]] + wt[1] * 64) >> 16);
+        break;
+      }
+      case SSE: {
+        cr.cxt = (h[i] + u32(c8)) * 32;
+        int pq = p[cp[2]] + 992;
+        if (pq < 0) pq = 0;
+        if (pq > 1983) pq = 1983;
+        int wt = pq & 63;
+        pq >>= 6;
+        cr.cxt += u32(pq);
+        size_t sz = cr.cm.size();
+        p[i] = stretch(((int(cr.cm[cr.cxt & (sz - 1)] >> 10) * (64 - wt) +
+                         int(cr.cm[(cr.cxt + 1) & (sz - 1)] >> 10) * wt)
+                        >> 13));
+        cr.cxt += u32(wt >> 5);
+        break;
+      }
+      default: throw format_error("component not implemented");
+    }
+  }
+  return squash(p[n - 1]);
+}
+
+void Predictor::train(Comp& cr, int y) {
+  u32 pn = cr.cm[cr.cxt & (cr.cm.size() - 1)];
+  u32 count = pn & 0x3ff;
+  int error = y * 32767 - int(pn >> 17);
+  pn += u32(error * g_tab.dt[count]) & u32(-1024);
+  pn += count < cr.limit;
+  cr.cm[cr.cxt & (cr.cm.size() - 1)] = pn;
+}
+
+void Predictor::update(int y) {
+  int n = hdr.n();
+  for (int i = 0; i < n; ++i) {
+    Comp& cr = comp[i];
+    const std::vector<u8>& cp = hdr.comps[i];
+    switch (cp[0]) {
+      case CM: train(cr, y); break;
+      case ICM: {
+        size_t idx = cr.c + (hmap4 & 15);
+        cr.ht[idx] = g_tab.sns[cr.ht[idx] * 4 + y];
+        u32& pn = cr.cm[cr.cxt];
+        pn += u32((y * 32767 - int(pn >> 8)) >> 2);
+        break;
+      }
+      case MATCH: {
+        size_t mask = cr.ht.size() - 1;
+        if (int(cr.c) != y) cr.a = 0;
+        cr.ht[cr.limit & mask] = u8(cr.ht[cr.limit & mask] * 2 + y);
+        if (++cr.cxt == 8) {
+          cr.cxt = 0;
+          cr.limit = (cr.limit + 1) & mask;
+          if (cr.a == 0) {
+            cr.b = (cr.limit - cr.cm[h[i] & (cr.cm.size() - 1)]);
+            if (cr.b & mask)
+              while (cr.a < 255 &&
+                     cr.ht[(cr.limit - cr.a - 1) & mask] ==
+                         cr.ht[(cr.limit - cr.a - cr.b - 1) & mask])
+                ++cr.a;
+          } else if (cr.a < 255) ++cr.a;
+          cr.cm[h[i] & (cr.cm.size() - 1)] = u32(cr.limit);
+        }
+        break;
+      }
+      case MIX2: {
+        int err = ((y * 32767 - squash(p[i])) * cp[4]) >> 5;
+        int w = cr.a16[cr.cxt] + ((err * (p[cp[2]] - p[cp[3]]) + (1 << 12))
+                                  >> 13);
+        if (w < 0) w = 0;
+        if (w > 65535) w = 65535;
+        cr.a16[cr.cxt] = u16(w);
+        break;
+      }
+      case MIX: {
+        int mm = cp[3];
+        int err = ((y * 32767 - squash(p[i])) * cp[4]) >> 4;
+        i32* wt = (i32*)&cr.cm[cr.cxt];
+        for (int j = 0; j < mm; ++j)
+          wt[j] = clamp512k(wt[j] + ((err * p[cp[2] + j] + (1 << 12)) >> 13));
+        break;
+      }
+      case ISSE: {
+        int err = y * 32767 - squash(p[i]);
+        i32* wt = (i32*)&cr.cm[cr.cxt * 2];
+        wt[0] = clamp512k(wt[0] + ((err * p[cp[2]] + (1 << 12)) >> 13));
+        wt[1] = clamp512k(wt[1] + ((err + 16) >> 5));
+        cr.ht[cr.c + (hmap4 & 15)] = g_tab.sns[cr.cxt * 4 + y];
+        break;
+      }
+      case SSE: train(cr, y); break;
+      default: break;
+    }
+  }
+  c8 += c8 + y;
+  if (c8 >= 256) {
+    z.run(u32(c8 - 256));
+    hmap4 = 1;
+    c8 = 1;
+    for (int i = 0; i < n; ++i) h[i] = z.h[i & z.hmask];
+  } else if (c8 >= 16 && c8 < 32) {
+    hmap4 = (hmap4 & 0xf) << 5 | (y << 4) | 1;
+  } else {
+    hmap4 = (hmap4 & 0x1f0) | (((hmap4 & 0xf) * 2 + y) & 0xf);
+  }
+}
+
+// ---- arithmetic decoder (libzpaq.cpp:2082-2173) ---------------------------
+void Decoder::init_block(const Header& hd) {
+  pr.init(hd);
+  init_segment();
+}
+
+void Decoder::init_segment() {
+  low = 1; high = 0xFFFFFFFFu; curr = 0;
+}
+
+int Decoder::decode(int p) {
+  if (curr < low || curr > high) throw format_error("archive corrupted");
+  u32 mid = low + u32((u64(high - low) * u32(p)) >> 16);
+  int y;
+  if (curr <= mid) { y = 1; high = mid; }
+  else { y = 0; low = mid + 1; }
+  while ((high ^ low) < 0x1000000u) {
+    high = (high << 8) | 255;
+    low <<= 8;
+    low += (low == 0);
+    int c = get();
+    if (c < 0) throw format_error("unexpected end of file");
+    curr = (curr << 8) | u32(c);
+  }
+  return y;
+}
+
+int Decoder::decompress() {
+  if (pr.is_modeled()) {
+    if (curr == 0)
+      for (int i = 0; i < 4; ++i) curr = (curr << 8) | u32(get() & 255);
+    if (decode(0)) {
+      if (curr != 0) throw format_error("decoding end of stream");
+      return -1;
+    }
+    int c = 1;
+    while (c < 256) {
+      int p = pr.predict() * 2 + 1;
+      c += c + decode(p);
+      pr.update(c & 1);
+    }
+    return c - 256;
+  }
+  if (curr == 0) {
+    for (int i = 0; i < 4; ++i) curr = (curr << 8) | u32(get() & 255);
+    if (curr == 0) return -1;
+  }
+  --curr;
+  return get();
+}
+
+// ---- postprocessor (libzpaq.cpp:2175-2233) --------------------------------
+void PostProc::init(int ph_, int pm_, Sink* out_) {
+  state = hsize = 0;
+  ph = ph_; pm = pm_;
+  out = out_;
+  pcomp.clear();
+}
+
+void PostProc::write(int c) {
+  switch (state) {
+    case 0:
+      if (c < 0) throw format_error("unexpected EOS");
+      state = c + 1;
+      if (state > 2) throw format_error("unknown post processing type");
+      break;
+    case 1:
+      if (c >= 0 && out) out->put(c);
+      break;
+    case 2:
+      if (c < 0) throw format_error("unexpected EOS");
+      hsize = c;
+      state = 3;
+      break;
+    case 3: {
+      if (c < 0) throw format_error("unexpected EOS");
+      hsize += c * 256;
+      if (hsize < 1) throw format_error("empty PCOMP");
+      pcomp.clear();
+      state = 4;
+      break;
+    }
+    case 4:
+      if (c < 0) throw format_error("unexpected EOS");
+      pcomp.push_back(u8(c));
+      if ((int)pcomp.size() == hsize) {
+        size_t codelen = pcomp.size();
+        if (codelen && pcomp[codelen - 1] == 0) --codelen;
+        vm.init(pcomp.data(), codelen, ph, pm);
+        vm.out = out;
+        state = 5;
+      }
+      break;
+    case 5:
+      vm.run(c >= 0 ? u32(c) : 0xFFFFFFFFu);
+      break;
+  }
+}
+
+// ---- preprocessors --------------------------------------------------------
+// E8E9: x86 CALL/JMP rel->abs, scanned backward (libzpaq.cpp:6117-6126).
+void e8e9(u8* buf, i64 n) {
+  for (i64 i = n - 5; i >= 0; --i) {
+    if ((buf[i] & 0xFE) == 0xE8 && (buf[i + 4] == 0 || buf[i + 4] == 0xFF)) {
+      u32 a = (buf[i + 1] | (u32(buf[i + 2]) << 8) | (u32(buf[i + 3]) << 16))
+              + u32(i);
+      buf[i + 1] = u8(a);
+      buf[i + 2] = u8(a >> 8);
+      buf[i + 3] = u8(a >> 16);
+    }
+  }
+}
+
+void inverse_e8e9(u8* buf, i64 n) {
+  for (i64 i = 0; i + 4 < n; ++i) {
+    if ((buf[i] & 0xFE) == 0xE8 && (buf[i + 4] == 0 || buf[i + 4] == 0xFF)) {
+      u32 a = (buf[i + 1] | (u32(buf[i + 2]) << 8) | (u32(buf[i + 3]) << 16))
+              - u32(i);
+      buf[i + 1] = u8(a);
+      buf[i + 2] = u8(a >> 8);
+      buf[i + 3] = u8(a >> 16);
+    }
+  }
+}
+
+// ---- encoder --------------------------------------------------------------
+void Encoder::init_block(const Header& hd) {
+  pr.init(hd);
+  init_segment();
+}
+
+void Encoder::init_segment() {
+  low = 1; high = 0xFFFFFFFFu;
+  ubuf.clear();
+}
+
+void Encoder::encode(int y, int p) {
+  u32 mid = low + u32((u64(high - low) * u32(p)) >> 16);
+  if (y) high = mid; else low = mid + 1;
+  while ((high ^ low) < 0x1000000u) {
+    out->put(int(high >> 24));
+    high = (high << 8) | 255;
+    low <<= 8;
+    low += (low == 0);
+  }
+}
+
+void Encoder::flush_unmodeled() {
+  if (!ubuf.empty()) {
+    size_t n = ubuf.size();
+    out->put(int(n >> 24) & 255);
+    out->put(int(n >> 16) & 255);
+    out->put(int(n >> 8) & 255);
+    out->put(int(n) & 255);
+    out->write(ubuf.data(), n);
+    ubuf.clear();
+  }
+}
+
+void Encoder::compress(int c) {
+  if (pr.is_modeled()) {
+    if (c < 0) encode(1, 0);
+    else {
+      encode(0, 0);
+      for (int i = 7; i >= 0; --i) {
+        int p = pr.predict() * 2 + 1;
+        int y = (c >> i) & 1;
+        encode(y, p);
+        pr.update(y);
+      }
+    }
+  } else {
+    if (c < 0) flush_unmodeled();
+    else {
+      ubuf.push_back(u8(c));
+      if (ubuf.size() >= (1u << 16)) flush_unmodeled();
+    }
+  }
+}
+
+}  // namespace tzpaq
+
+// ===========================================================================
+// C ABI
+// ===========================================================================
+
+using namespace tzpaq;
+
+namespace {
+
+// 13-byte locator tag (matches codec/container.py TAG)
+const u8 TAG[13] = {0x37, 0x6B, 0x53, 0x74, 0xA0, 0x31, 0x83, 0xD3,
+                    0x8C, 0xB2, 0x28, 0xB0, 0xD3};
+
+struct Segment {
+  std::string filename, comment;
+  std::vector<u8> data;
+  bool has_sha1 = false;
+  u8 sha1[20];
+  u64 offset = 0;              // archive offset of the segment start byte
+};
+
+struct Stream {
+  const u8* data;
+  size_t n, pos;
+  std::string err;
+  std::vector<Segment> segs;   // segments of the last decoded block
+  Header hdr;
+  u64 block_offset = 0;
+
+  int get() { return pos < n ? data[pos++] : -1; }
+};
+
+// scan for the next block via the 4 rolling hashes
+// (libzpaq.cpp:2239-2266 semantics; constants match container.py find_block)
+bool find_block(Stream& s, Header& hd) {
+  u32 h1 = 0x3D49B113, h2 = 0x29EB7F93, h3 = 0x2614BE13, h4 = 0x3828EB13;
+  for (;;) {
+    int c = s.get();
+    if (c < 0) return false;
+    h1 = h1 * 12 + c;
+    h2 = h2 * 20 + c;
+    h3 = h3 * 28 + c;
+    h4 = h4 * 44 + c;
+    if (h1 == 0xB16B88F1 && h2 == 0xFF5376F1 && h3 == 0x72AC5BF1 &&
+        h4 == 0x2F909AF1)
+      break;
+  }
+  int level = s.get();
+  if (level != 1 && level != 2) throw format_error("unsupported ZPAQ level");
+  if (s.get() != 1) throw format_error("unsupported ZPAQL type");
+  size_t used = hd.parse(s.data + s.pos, s.n - s.pos);
+  s.pos += used;
+  return true;
+}
+
+// read segment filename; returns false at end of block (255)
+bool read_filename(Stream& s, std::string& name) {
+  int c = s.get();
+  if (c == 255) return false;
+  if (c != 1) throw format_error("missing segment or end of block");
+  name.clear();
+  for (;;) {
+    c = s.get();
+    if (c < 0) throw format_error("unexpected EOF");
+    if (c == 0) return true;
+    name.push_back(char(c));
+  }
+}
+
+void read_comment(Stream& s, std::string& comment) {
+  comment.clear();
+  for (;;) {
+    int c = s.get();
+    if (c < 0) throw format_error("unexpected EOF");
+    if (c == 0) break;
+    comment.push_back(char(c));
+  }
+  if (s.get() != 0) throw format_error("missing reserved byte");
+}
+
+}  // namespace
+
+extern "C" {
+
+void* tzs_open(const u8* data, size_t n) {
+  Stream* s = new Stream();
+  s->data = data; s->n = n; s->pos = 0;
+  return s;
+}
+
+void tzs_close(void* h) { delete (Stream*)h; }
+
+const char* tzs_error(void* h) { return ((Stream*)h)->err.c_str(); }
+
+// Find + fully decode the next block (all segments).
+// Returns number of segments, 0 at end of archive, -1 on error.
+long tzs_read_block(void* hv) {
+  Stream& s = *(Stream*)hv;
+  s.segs.clear();
+  try {
+    s.block_offset = s.pos;
+    if (!find_block(s, s.hdr)) return 0;
+    Decoder dec;
+    PostProc pp;
+    Sink sink;
+    bool first = true;
+    std::string name, comment;
+    while (read_filename(s, name)) {
+      read_comment(s, comment);
+      if (first) {
+        dec.in = s.data; dec.inlen = s.n; dec.pos = s.pos;
+        dec.init_block(s.hdr);
+        pp.init(s.hdr.ph, s.hdr.pm, &sink);
+        first = false;
+      } else {
+        dec.pos = s.pos;
+        dec.init_segment();
+      }
+      Segment seg;
+      seg.filename = name;
+      seg.comment = comment;
+      seg.offset = s.pos;
+      size_t start = sink.size();
+      for (;;) {
+        int c = dec.decompress();
+        pp.write(c);
+        if (c == -1) break;
+      }
+      s.pos = dec.pos;
+      int c = s.get();
+      if (c == 253) {
+        seg.has_sha1 = true;
+        for (int i = 0; i < 20; ++i) seg.sha1[i] = u8(s.get() & 255);
+      } else if (c != 254) {
+        throw format_error("missing end of segment marker");
+      }
+      seg.data.assign(sink.v.begin() + start, sink.v.end());
+      s.segs.push_back(std::move(seg));
+      name.clear(); comment.clear();
+    }
+    return (long)s.segs.size();
+  } catch (const std::exception& e) {
+    s.err = e.what();
+    return -1;
+  }
+}
+
+size_t tzs_seg_count(void* h) { return ((Stream*)h)->segs.size(); }
+const char* tzs_seg_filename(void* h, size_t i) {
+  return ((Stream*)h)->segs[i].filename.c_str();
+}
+const char* tzs_seg_comment(void* h, size_t i) {
+  return ((Stream*)h)->segs[i].comment.c_str();
+}
+const u8* tzs_seg_data(void* h, size_t i) {
+  return ((Stream*)h)->segs[i].data.data();
+}
+size_t tzs_seg_size(void* h, size_t i) {
+  return ((Stream*)h)->segs[i].data.size();
+}
+int tzs_seg_sha1(void* h, size_t i, u8* out20) {
+  Segment& s = ((Stream*)h)->segs[i];
+  if (!s.has_sha1) return 0;
+  memcpy(out20, s.sha1, 20);
+  return 1;
+}
+u64 tzs_tell(void* h) { return ((Stream*)h)->pos; }
+void tzs_seek(void* h, u64 pos) { ((Stream*)h)->pos = pos; }
+
+// One-call block compressor. header = serialized model header (hsize..),
+// ppblob = "psize[2] pcomp 0" or NULL, data fed through the coder after the
+// postprocessor selector. sha1 = checksum of the ORIGINAL data or NULL.
+// Returns bytes written, or -(needed) if out_cap is too small, -1 on error.
+long tzc_compress_block(const u8* header, size_t header_len,
+                        const u8* ppblob, size_t ppblob_len,
+                        const u8* data, size_t n,
+                        const char* filename, const char* comment,
+                        const u8* sha1, int write_tag,
+                        u8* out, size_t out_cap) {
+  try {
+    Header hd;
+    hd.parse(header, header_len);
+    Sink sink;
+    if (write_tag) sink.write(TAG, 13);
+    sink.put('z'); sink.put('P'); sink.put('Q');
+    sink.put(hd.n() > 0 ? 1 : 2); sink.put(1);
+    sink.write(header, header_len);
+    sink.put(1);
+    for (const char* p = filename; *p; ++p) sink.put(*p);
+    sink.put(0);
+    for (const char* p = comment; *p; ++p) sink.put(*p);
+    sink.put(0); sink.put(0);
+    Encoder enc;
+    enc.out = &sink;
+    enc.init_block(hd);
+    if (ppblob && ppblob_len) {
+      enc.compress(1);
+      for (size_t i = 0; i < ppblob_len; ++i) enc.compress(ppblob[i]);
+    } else {
+      enc.compress(0);
+    }
+    for (size_t i = 0; i < n; ++i) enc.compress(data[i]);
+    enc.compress(-1);
+    sink.put(0); sink.put(0); sink.put(0); sink.put(0);
+    if (sha1) {
+      sink.put(253);
+      sink.write(sha1, 20);
+    } else {
+      sink.put(254);
+    }
+    sink.put(255);  // end of block
+    if (sink.size() > out_cap) return -(long)sink.size();
+    memcpy(out, sink.v.data(), sink.size());
+    return (long)sink.size();
+  } catch (const std::exception&) {
+    return -1;
+  }
+}
+
+void tz_sha1(const u8* data, size_t n, u8* out20) {
+  SHA1 s;
+  s.init();
+  s.update(data, n);
+  s.final(out20);
+}
+
+void tz_e8e9(u8* buf, i64 n) { e8e9(buf, n); }
+void tz_inverse_e8e9(u8* buf, i64 n) { inverse_e8e9(buf, n); }
+
+}  // extern "C"

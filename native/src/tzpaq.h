@@ -38,7 +38,18 @@ struct Tables {
   bool ready = false;
 };
 extern Tables g_tab;
-void install_sns(const u8* sns1024);  // also builds the float-free tables
+
+// ---- streaming SHA-1 (FIPS 180-1; fragment/segment checksums) ----
+struct SHA1 {
+  u32 h[5];
+  u64 len = 0;
+  u8 buf[64];
+  SHA1() { init(); }
+  void init();
+  void update(const u8* p, size_t n);
+  void final(u8* out20);
+  void block(const u8* p);
+};
 
 inline int squash(int x) { return g_tab.squasht[x + 2048]; }
 inline int stretch(int p) { return g_tab.stretcht[p]; }
@@ -150,7 +161,8 @@ struct Encoder {
 };
 
 // ---- preprocessors ----
-void e8e9(u8* buf, i64 n);  // libzpaq.cpp:6117-6126 semantics
+void e8e9(u8* buf, i64 n);          // libzpaq.cpp:6117-6126 semantics
+void inverse_e8e9(u8* buf, i64 n);  // decode-side inverse of e8e9
 // LZ77/BWT encode; args as LZBuffer (libzpaq.cpp:6128-6311):
 // args[0]=log2 bufsize MB, args[1]=level(1,2,3)+4*e8e9, args[2]=minMatch,
 // args[3]=minMatch2, args[4]=log bucket, args[5]=log ht size (or args[0]+21

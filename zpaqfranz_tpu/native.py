@@ -1,0 +1,202 @@
+"""ctypes binding for the native tzpaq host engine (native/libtzpaq.so).
+
+The native engine is the fast scalar path: full-archive decode (the Python
+oracle is ~1 KB/s on -m5 models), block compression for the CLI's host mode,
+and the hashing hot loops. It must match the Python oracle bit-for-bit; the
+format LUTs are installed from ``models.tables`` so there is one source of
+truth.
+"""
+
+from __future__ import annotations
+
+import ctypes as C
+import pathlib
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .models import tables as T
+
+_ROOT = pathlib.Path(__file__).resolve().parent.parent
+_NATIVE_DIR = _ROOT / "native"
+_SO = _NATIVE_DIR / "libtzpaq.so"
+
+_lib = None
+
+
+class NativeError(RuntimeError):
+    pass
+
+
+def ensure_built() -> pathlib.Path:
+    """Build libtzpaq.so if missing or stale; return its path."""
+    src = _NATIVE_DIR / "src" / "tzpaq.cpp"
+    hdr = _NATIVE_DIR / "src" / "tzpaq.h"
+    if (not _SO.exists()
+            or _SO.stat().st_mtime < max(src.stat().st_mtime,
+                                         hdr.stat().st_mtime)):
+        subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
+                       capture_output=True)
+    return _SO
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    lib = C.CDLL(str(ensure_built()))
+    lib.tzs_open.restype = C.c_void_p
+    lib.tzs_open.argtypes = [C.c_char_p, C.c_size_t]
+    lib.tzs_close.argtypes = [C.c_void_p]
+    lib.tzs_error.restype = C.c_char_p
+    lib.tzs_error.argtypes = [C.c_void_p]
+    lib.tzs_read_block.restype = C.c_long
+    lib.tzs_read_block.argtypes = [C.c_void_p]
+    lib.tzs_seg_count.restype = C.c_size_t
+    lib.tzs_seg_count.argtypes = [C.c_void_p]
+    lib.tzs_seg_filename.restype = C.c_char_p
+    lib.tzs_seg_filename.argtypes = [C.c_void_p, C.c_size_t]
+    lib.tzs_seg_comment.restype = C.c_char_p
+    lib.tzs_seg_comment.argtypes = [C.c_void_p, C.c_size_t]
+    lib.tzs_seg_data.restype = C.POINTER(C.c_ubyte)
+    lib.tzs_seg_data.argtypes = [C.c_void_p, C.c_size_t]
+    lib.tzs_seg_size.restype = C.c_size_t
+    lib.tzs_seg_size.argtypes = [C.c_void_p, C.c_size_t]
+    lib.tzs_seg_sha1.restype = C.c_int
+    lib.tzs_seg_sha1.argtypes = [C.c_void_p, C.c_size_t, C.c_char_p]
+    lib.tzs_tell.restype = C.c_uint64
+    lib.tzs_tell.argtypes = [C.c_void_p]
+    lib.tzs_seek.argtypes = [C.c_void_p, C.c_uint64]
+    lib.tzc_compress_block.restype = C.c_long
+    lib.tzc_compress_block.argtypes = [
+        C.c_char_p, C.c_size_t, C.c_char_p, C.c_size_t,
+        C.c_char_p, C.c_size_t, C.c_char_p, C.c_char_p,
+        C.c_char_p, C.c_int, C.c_char_p, C.c_size_t]
+    lib.tz_sha1.argtypes = [C.c_char_p, C.c_size_t, C.c_char_p]
+    lib.tz_e8e9.argtypes = [C.c_char_p, C.c_int64]
+    lib.tz_inverse_e8e9.argtypes = [C.c_char_p, C.c_int64]
+    lib.tz_install_tables.argtypes = [C.c_char_p] * 6
+    lib.tz_install_tables(
+        T.SNS.tobytes(),
+        T.CMINIT.astype(np.uint32).tobytes(),
+        T.SQUASHT.astype(np.uint16).tobytes(),
+        T.STRETCHT.astype(np.int16).tobytes(),
+        T.DT.astype(np.int32).tobytes(),
+        T.DT2K.astype(np.int32).tobytes(),
+    )
+    _lib = lib
+    return lib
+
+
+class NativeSegment:
+    __slots__ = ("filename", "comment", "data", "sha1", "offset")
+
+    def __init__(self, filename, comment, data, sha1):
+        self.filename = filename
+        self.comment = comment
+        self.data = data
+        self.sha1 = sha1
+
+
+class NativeStream:
+    """Iterates blocks of an in-memory archive, decoding each fully."""
+
+    def __init__(self, data: bytes):
+        self._lib = _load()
+        self._buf = bytes(data)  # keep alive
+        self._h = self._lib.tzs_open(self._buf, len(self._buf))
+
+    def close(self):
+        if self._h:
+            self._lib.tzs_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def tell(self) -> int:
+        return self._lib.tzs_tell(self._h)
+
+    def seek(self, pos: int) -> None:
+        self._lib.tzs_seek(self._h, pos)
+
+    def read_block(self) -> Optional[List[NativeSegment]]:
+        """Decode the next block; None at end of archive."""
+        n = self._lib.tzs_read_block(self._h)
+        if n == 0:
+            return None
+        if n < 0:
+            raise NativeError(self._lib.tzs_error(self._h).decode())
+        segs = []
+        for i in range(n):
+            size = self._lib.tzs_seg_size(self._h, i)
+            ptr = self._lib.tzs_seg_data(self._h, i)
+            data = C.string_at(ptr, size) if size else b""
+            sha = C.create_string_buffer(20)
+            has = self._lib.tzs_seg_sha1(self._h, i, sha)
+            segs.append(NativeSegment(
+                self._lib.tzs_seg_filename(self._h, i),
+                self._lib.tzs_seg_comment(self._h, i),
+                data, sha.raw if has else None))
+        return segs
+
+    def blocks(self):
+        while True:
+            segs = self.read_block()
+            if segs is None:
+                return
+            yield segs
+
+
+def decompress_stream(data: bytes) -> List[List[NativeSegment]]:
+    """Decode every block of an archive with the native engine."""
+    with NativeStream(data) as s:
+        return list(s.blocks())
+
+
+def compress_block(model, data: bytes, filename: bytes = b"",
+                   comment: bytes = b"", sha1: Optional[bytes] = None,
+                   tag: bool = True) -> bytes:
+    """Native one-call block compressor (mirror of codec.writer)."""
+    lib = _load()
+    header = model.header_bytes()
+    ppblob = model.pcomp_bytes() or b""
+    cap = len(data) + len(data) // 2 + len(header) + 256
+    out = C.create_string_buffer(cap)
+    rc = lib.tzc_compress_block(
+        header, len(header), ppblob, len(ppblob), data, len(data),
+        filename, comment, sha1, 1 if tag else 0, out, cap)
+    if rc < -1:
+        cap = -rc
+        out = C.create_string_buffer(cap)
+        rc = lib.tzc_compress_block(
+            header, len(header), ppblob, len(ppblob), data, len(data),
+            filename, comment, sha1, 1 if tag else 0, out, cap)
+    if rc < 0:
+        raise NativeError("native compress_block failed")
+    return out.raw[:rc]
+
+
+def sha1(data: bytes) -> bytes:
+    lib = _load()
+    out = C.create_string_buffer(20)
+    lib.tz_sha1(data, len(data), out)
+    return out.raw
+
+
+def e8e9_transform(data: bytes) -> bytes:
+    lib = _load()
+    buf = C.create_string_buffer(bytes(data), len(data))
+    lib.tz_e8e9(buf, len(data))
+    return buf.raw[:len(data)]
+
+
+def e8e9_inverse(data: bytes) -> bytes:
+    lib = _load()
+    buf = C.create_string_buffer(bytes(data), len(data))
+    lib.tz_inverse_e8e9(buf, len(data))
+    return buf.raw[:len(data)]
