@@ -870,4 +870,58 @@ void tz_sha1(const u8* data, size_t n, u8* out20) {
 void tz_e8e9(u8* buf, i64 n) { e8e9(buf, n); }
 void tz_inverse_e8e9(u8* buf, i64 n) { inverse_e8e9(buf, n); }
 
+// Content-defined chunking: order-1-predictive rolling hash, boundary when
+// the hash drops below a threshold (reference behavior described in
+// SURVEY.md section 2.6 component 35; exact boundaries are an
+// implementation choice — only round-trip matters, not boundary parity).
+// mean_bits: mean fragment = 2^mean_bits bytes; min = mean/16, max = mean*8.
+// Writes fragment END offsets (exclusive); returns count (<= cap).
+size_t tz_cdc(const u8* data, size_t n, int mean_bits,
+              u32* ends, size_t cap) {
+  const u32 threshold = mean_bits >= 32 ? 0 : (0xFFFFFFFFu >> mean_bits);
+  const size_t minfrag = (size_t(1) << mean_bits) / 16;
+  const size_t maxfrag = (size_t(1) << mean_bits) * 8 + 4096;
+  u8 o1[256];
+  memset(o1, 0, sizeof o1);
+  u32 h = 0;
+  u8 c1 = 0;
+  size_t start = 0, count = 0;
+  for (size_t i = 0; i < n; ++i) {
+    u8 c = data[i];
+    if (c == o1[c1]) h = (h + c + 1) * 314159265u;
+    else h = (h + c + 1) * 271828182u;
+    o1[c1] = c;
+    c1 = c;
+    size_t fraglen = i + 1 - start;
+    if ((h < threshold && fraglen >= minfrag) || fraglen >= maxfrag) {
+      if (count < cap) ends[count++] = u32(i + 1);
+      start = i + 1;
+      h = 0;
+      c1 = 0;
+      memset(o1, 0, sizeof o1);
+    }
+  }
+  if (start < n && count < cap) ends[count++] = u32(n);
+  return count;
+}
+
+// CRC-32 (IEEE 802.3, reflected), table-driven.
+static u32 crc_table[256];
+static bool crc_ready = false;
+
+u32 tz_crc32(u32 crc, const u8* data, size_t n) {
+  if (!crc_ready) {
+    for (u32 i = 0; i < 256; ++i) {
+      u32 c = i;
+      for (int k = 0; k < 8; ++k) c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : c >> 1;
+      crc_table[i] = c;
+    }
+    crc_ready = true;
+  }
+  crc = ~crc;
+  for (size_t i = 0; i < n; ++i)
+    crc = crc_table[(crc ^ data[i]) & 0xFF] ^ (crc >> 8);
+  return ~crc;
+}
+
 }  // extern "C"

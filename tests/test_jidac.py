@@ -1,0 +1,132 @@
+"""Jidac layer end-to-end: golden archive, add/extract round-trip, dedup."""
+
+import hashlib
+import pathlib
+import struct
+
+import pytest
+
+from zpaqfranz_tpu.jidac.index import read_archive, fragment_to_block
+from zpaqfranz_tpu.jidac.add import add
+from zpaqfranz_tpu.jidac.extract import extract, select_files, verify_archive
+
+
+@pytest.fixture()
+def tree(tmp_path):
+    src = tmp_path / "src"
+    (src / "sub").mkdir(parents=True)
+    (src / "a.txt").write_bytes(b"hello world " * 400)
+    (src / "b.bin").write_bytes(bytes(range(256)) * 40)
+    (src / "sub" / "c.txt").write_bytes(b"fox " * 800)
+    (src / "empty").write_bytes(b"")
+    return src
+
+
+def test_golden_index(golden_bytes):
+    jd = read_archive(golden_bytes)
+    files = [n for n, d in jd.dt.items() if d.date]
+    assert len(files) == 256
+    assert all(len(n) == 64 for n in files)
+    assert all(jd.dt[n].size == 37000 for n in files)
+    assert len(jd.ver) >= 2
+    # every fragment maps to a block
+    for d in jd.dt.values():
+        for f in d.ptr:
+            assert fragment_to_block(jd, f) is not None
+
+
+def test_golden_until_rollback(golden_bytes):
+    jd = read_archive(golden_bytes, until=0)
+    assert len(jd.ver) == 1          # rolled back before the first version
+    assert not jd.dt
+
+
+def test_add_extract_roundtrip(tree, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    arc = tmp_path / "t.zpaq"
+    n, frags, nbytes = add(str(arc), ["src"], method="0")
+    assert n == 4 and nbytes > 0
+    data = arc.read_bytes()
+    jd = read_archive(data)
+    assert select_files(jd, []) == sorted(
+        str(p.relative_to(tmp_path)) for p in tree.rglob("*") if p.is_file())
+    out = tmp_path / "out"
+    nfiles, total = extract(data, jd, str(out))
+    assert nfiles == 4
+    for p in tree.rglob("*"):
+        if p.is_file():
+            rel = p.relative_to(tmp_path)
+            assert (out / rel).read_bytes() == p.read_bytes(), rel
+
+
+def test_incremental_dedup(tree, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    arc = tmp_path / "t.zpaq"
+    add(str(arc), ["src"], method="0")
+    size1 = arc.stat().st_size
+    # identical content: nothing to add
+    n, frags, nbytes = add(str(arc), ["src"], method="0")
+    assert (n, frags, nbytes) == (0, 0, 0)
+    # append to one file: only the changed file re-added, dedup keeps rest
+    with open(tree / "a.txt", "ab") as f:
+        f.write(b"delta")
+    n, frags, nbytes = add(str(arc), ["src"], method="0")
+    assert n == 1
+    data = arc.read_bytes()
+    jd = read_archive(data)
+    assert len(jd.ver) == 3
+    out = tmp_path / "out2"
+    extract(data, jd, str(out))
+    assert (out / "src" / "a.txt").read_bytes() == (
+        tree / "a.txt").read_bytes()
+    # rollback to version 1 sees the old content
+    jd1 = read_archive(data, until=1)
+    out1 = tmp_path / "out1"
+    extract(data, jd1, str(out1))
+    assert (out1 / "src" / "a.txt").read_bytes() == b"hello world " * 400
+
+
+def test_deletion_recorded(tree, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    arc = tmp_path / "t.zpaq"
+    add(str(arc), ["src"], method="0")
+    (tree / "b.bin").unlink()
+    n, frags, nbytes = add(str(arc), ["src"], method="0")
+    jd = read_archive(arc.read_bytes())
+    assert jd.dt["src/b.bin"].date == 0       # marked deleted
+    assert "src/b.bin" not in select_files(jd, [])
+
+
+def test_cm_method_archive(tree, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    arc = tmp_path / "t4.zpaq"
+    add(str(arc), ["src"], method="4")
+    data = arc.read_bytes()
+    jd = read_archive(data)
+    nblocks, nfrags = verify_archive(data, jd)
+    assert nblocks >= 1 and nfrags >= 3   # the empty file has no fragments
+    out = tmp_path / "out"
+    extract(data, jd, str(out))
+    for p in tree.rglob("*"):
+        if p.is_file():
+            rel = p.relative_to(tmp_path)
+            assert (out / rel).read_bytes() == p.read_bytes(), rel
+    # CM should compress the text well below store size
+    assert arc.stat().st_size < sum(
+        p.stat().st_size for p in tree.rglob("*") if p.is_file())
+
+
+def test_corrupt_block_isolated(tree, tmp_path, monkeypatch):
+    """A flipped byte inside a d block fails that block's checksum but the
+    index still reads (per-block error isolation, zsfx.cpp:1596-1602)."""
+    monkeypatch.chdir(tmp_path)
+    arc = tmp_path / "t.zpaq"
+    add(str(arc), ["src"], method="0")
+    data = bytearray(arc.read_bytes())
+    jd = read_archive(bytes(data))
+    blk = jd.block[0]
+    data[blk.offset + 200] ^= 0xFF   # corrupt fragment data
+    jd2 = read_archive(bytes(data))  # index still parses
+    assert len(jd2.dt) == len(jd.dt)
+    with pytest.raises(Exception):
+        verify_archive(bytes(data), jd2)

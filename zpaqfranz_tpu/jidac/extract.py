@@ -1,0 +1,148 @@
+"""Jidac extract: decode d blocks, verify fragments, write files.
+
+Mirrors the reference extract loop (/root/reference/ZSFX/zsfx.cpp:1647-2281):
+label selected files, map fragments to blocks, decode each needed block,
+verify every fragment's SHA-1 before writing, then merge consecutive
+fragments into file writes and set dates/permissions last.
+
+Blocks decode independently (format guarantee, libzpaq.h:57-59), so the
+block loop runs on a thread pool — ctypes releases the GIL during native
+decode, giving real block-level parallelism on the host path. (The TPU path
+batches many blocks as decoder lanes instead; see ops/coder_batched.py.)
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import hashlib
+import os
+import pathlib
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from .. import native
+from .index import Block, Jidac, fragment_to_block
+
+
+class ExtractError(RuntimeError):
+    pass
+
+
+def _decode_block(data: bytes, blk: Block) -> bytes:
+    """Decode one d block to its concatenated fragment bytes."""
+    with native.NativeStream(data) as s:
+        s.seek(blk.offset)
+        segs = s.read_block()
+    if not segs:
+        raise ExtractError(f"block at {blk.offset} not found")
+    out = b"".join(seg.data for seg in segs)
+    if len(out) < blk.usize:
+        raise ExtractError(
+            f"block at {blk.offset}: {len(out)} < {blk.usize} bytes")
+    return out
+
+
+def _verify_fragments(jd: Jidac, blk: Block, out: bytes) -> Dict[int, bytes]:
+    """Split decoded block bytes into fragments, checking SHA-1s."""
+    frags: Dict[int, bytes] = {}
+    q = 0
+    for j in range(blk.start, blk.start + blk.frags):
+        usize = jd.ht[j].usize
+        piece = out[q:q + usize]
+        if len(piece) != usize:
+            raise ExtractError(f"fragment {j}: incomplete")
+        if jd.ht[j].sha1 != b"\x00" * 20:
+            if hashlib.sha1(piece).digest() != jd.ht[j].sha1:
+                raise ExtractError(f"fragment {j}: checksum failed")
+        frags[j] = piece
+        q += usize
+    return frags
+
+
+def _date_to_unix(date: int) -> float:
+    """Decimal YYYYMMDDHHMMSS UT -> unix seconds."""
+    import calendar
+    s = f"{date:014d}"
+    t = (int(s[0:4]), int(s[4:6]), int(s[6:8]),
+         int(s[8:10]), int(s[10:12]), int(s[12:14]), 0, 0, 0)
+    return calendar.timegm(t)
+
+
+def select_files(jd: Jidac, patterns: Sequence[str]) -> List[str]:
+    """Wildcard selection with the reference's * and ? semantics
+    (zsfx.cpp:606-626 ispath)."""
+    import fnmatch
+    names = [n for n, d in jd.dt.items() if d.date]
+    if not patterns:
+        return sorted(names)
+    out = []
+    for n in names:
+        for p in patterns:
+            if fnmatch.fnmatchcase(n, p) or n == p or n.startswith(p.rstrip("/") + "/"):
+                out.append(n)
+                break
+    return sorted(out)
+
+
+def extract(data: bytes, jd: Jidac, to_dir: str,
+            patterns: Sequence[str] = (), threads: int = 0,
+            dry_run: bool = False) -> Tuple[int, int]:
+    """Extract selected files under ``to_dir``. Returns (files, bytes)."""
+    names = select_files(jd, patterns)
+    needed_blocks: Dict[int, Block] = {}
+    for n in names:
+        for frag in jd.dt[n].ptr:
+            b = fragment_to_block(jd, frag)
+            if b is None:
+                raise ExtractError(f"{n}: fragment {frag} not in any block")
+            needed_blocks[b.offset] = b
+    if dry_run:
+        return len(names), sum(jd.dt[n].size for n in names)
+
+    blocks = list(needed_blocks.values())
+    frag_bytes: Dict[int, bytes] = {}
+    threads = threads or min(32, (os.cpu_count() or 4))
+
+    def work(blk: Block) -> Dict[int, bytes]:
+        return _verify_fragments(jd, blk, _decode_block(data, blk))
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=threads) as ex:
+        for result in ex.map(work, blocks):
+            frag_bytes.update(result)
+
+    root = pathlib.Path(to_dir)
+    total = 0
+    for n in names:
+        d = jd.dt[n]
+        path = root / n.lstrip("/")
+        path.parent.mkdir(parents=True, exist_ok=True)
+        with open(path, "wb") as f:
+            for frag in d.ptr:
+                piece = frag_bytes.get(frag)
+                if piece is None:
+                    raise ExtractError(f"{n}: fragment {frag} missing")
+                f.write(piece)
+                total += len(piece)
+        if d.date > 19000000000000:
+            ts = _date_to_unix(d.date)
+            os.utime(path, (ts, ts))
+        if d.attr and (d.attr & 255) == ord("u"):
+            mode = (d.attr >> 8) & 0o7777
+            if mode:
+                os.chmod(path, mode)
+    return len(names), total
+
+
+def verify_archive(data: bytes, jd: Jidac, threads: int = 0) -> Tuple[int, int]:
+    """Integrity test: decode every block, verify every fragment SHA-1
+    (the reference 't' command's phase 1). Returns (blocks, fragments)."""
+    threads = threads or min(32, (os.cpu_count() or 4))
+    nfrag = 0
+
+    def work(blk: Block) -> int:
+        _verify_fragments(jd, blk, _decode_block(data, blk))
+        return blk.frags
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=threads) as ex:
+        for n in ex.map(work, jd.block):
+            nfrag += n
+    return len(jd.block), nfrag

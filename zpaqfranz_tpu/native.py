@@ -76,6 +76,11 @@ def _load():
     lib.tz_sha1.argtypes = [C.c_char_p, C.c_size_t, C.c_char_p]
     lib.tz_e8e9.argtypes = [C.c_char_p, C.c_int64]
     lib.tz_inverse_e8e9.argtypes = [C.c_char_p, C.c_int64]
+    lib.tz_cdc.restype = C.c_size_t
+    lib.tz_cdc.argtypes = [C.c_char_p, C.c_size_t, C.c_int,
+                           C.POINTER(C.c_uint32), C.c_size_t]
+    lib.tz_crc32.restype = C.c_uint32
+    lib.tz_crc32.argtypes = [C.c_uint32, C.c_char_p, C.c_size_t]
     lib.tz_install_tables.argtypes = [C.c_char_p] * 6
     lib.tz_install_tables(
         T.SNS.tobytes(),
@@ -200,3 +205,20 @@ def e8e9_inverse(data: bytes) -> bytes:
     buf = C.create_string_buffer(bytes(data), len(data))
     lib.tz_inverse_e8e9(buf, len(data))
     return buf.raw[:len(data)]
+
+
+def cdc_boundaries(data: bytes, mean_bits: int = 16) -> List[int]:
+    """Content-defined chunk END offsets (exclusive, last == len(data))."""
+    if not data:
+        return []
+    cap = max(16, len(data) // (1 << max(mean_bits - 5, 0)) + 16)
+    ends = (C.c_uint32 * cap)()
+    n = _load().tz_cdc(data, len(data), mean_bits, ends, cap)
+    out = list(ends[:n])
+    if not out or out[-1] != len(data):
+        out.append(len(data))
+    return out
+
+
+def crc32(data: bytes, crc: int = 0) -> int:
+    return _load().tz_crc32(crc, data, len(data))
