@@ -36,16 +36,17 @@ hcomp
 post 0 end
 """
 
-# full mid-profile model for TPU runs
+# mid-profile component chain, tables sized ~20 MB/lane so a 64-lane batch
+# stays well inside HBM together with the scan's double buffers
 _CFG = """
 comp 3 3 0 0 8
   0 icm 5
   1 isse 13 0
-  2 isse 17 1
-  3 isse 18 2
-  4 isse 18 3
-  5 isse 19 4
-  6 match 22 24
+  2 isse 15 1
+  3 isse 16 2
+  4 isse 16 3
+  5 isse 17 4
+  6 match 20 20
   7 mix 16 0 7 24 255
 """ + _HCOMP
 
@@ -91,7 +92,7 @@ def main() -> None:
     if platform == "cpu":
         n_lanes, n_bytes, cfg = 8, 192, _CFG_SMALL
     else:
-        n_lanes, n_bytes, cfg = 32, 4096, _CFG  # ~3.6 GB of model tables
+        n_lanes, n_bytes, cfg = 64, 2048, _CFG  # ~1.3 GB of model tables
 
     model, _ = compile_config(cfg)
     enc = BatchedEncoder(model, out_cap=n_bytes + 1 + 64)

@@ -870,6 +870,115 @@ void tz_sha1(const u8* data, size_t n, u8* out20) {
 void tz_e8e9(u8* buf, i64 n) { e8e9(buf, n); }
 void tz_inverse_e8e9(u8* buf, i64 n) { inverse_e8e9(buf, n); }
 
+// Byte-aligned LZ77 encoder (the reference's "level 2" stream format,
+// libzpaq.cpp:6211-6222 comment):
+//   00xxxxxx                      x+1 (1..64) literal bytes follow
+//   yyxxxxxx off[y+1] (y=1..3)    match length x+minMatch, offset bytes
+//                                 MSB-first, encoded offset = off-1
+// Match finding: greedy hash-chain search over 4-byte contexts with a
+// documented-compatible score (len*8 - lg(dist) - small constants). The
+// format is exact (the stored PCOMP program must invert it); the parse is
+// our own and only affects ratio.
+static int ilog2(u32 x) {
+  int r = 0;
+  while (x > 1) { x >>= 1; ++r; }
+  return r;
+}
+
+size_t tz_lz77_encode(const u8* in, size_t n, int min_match, int depth_log,
+                      int hash_bits, u8* out, size_t cap) {
+  const u32 htsize = u32(1) << hash_bits;
+  const u32 hmask = htsize - 1;
+  const int depth = 1 << depth_log;
+  std::vector<u32> head(htsize, 0xFFFFFFFFu);
+  std::vector<u32> chain(n < (size_t(1) << 28) ? n : 0, 0xFFFFFFFFu);
+  size_t w = 0;                 // write pos
+  auto put = [&](u8 c) { if (w < cap) out[w] = c; ++w; };
+  auto hash4 = [&](size_t i) -> u32 {
+    u32 x = u32(in[i]) | (u32(in[i + 1]) << 8) | (u32(in[i + 2]) << 16)
+            | (u32(in[i + 3]) << 24);
+    return (x * 2654435761u) >> (32 - hash_bits) & hmask;
+  };
+  size_t i = 0, lit_start = 0;
+  auto flush_literals = [&](size_t upto) {
+    size_t lit = upto - lit_start;
+    while (lit > 0) {
+      size_t l1 = lit > 64 ? 64 : lit;
+      put(u8(l1 - 1));
+      for (size_t j = upto - lit; j < upto - lit + l1; ++j) put(in[j]);
+      lit -= l1;
+    }
+    lit_start = upto;
+  };
+  auto emit_match = [&](size_t len, size_t off) {
+    --off;
+    while (len > 0) {
+      size_t mm = size_t(min_match);
+      size_t len1 = len > mm * 2 + 63 ? mm + 63
+                  : len > mm + 63 ? len - mm : len;
+      if (off < (1u << 16)) {
+        put(u8(64 + len1 - mm)); put(u8(off >> 8)); put(u8(off));
+      } else if (off < (1u << 24)) {
+        put(u8(128 + len1 - mm)); put(u8(off >> 16)); put(u8(off >> 8));
+        put(u8(off));
+      } else {
+        put(u8(192 + len1 - mm)); put(u8(off >> 24)); put(u8(off >> 16));
+        put(u8(off >> 8)); put(u8(off));
+      }
+      len -= len1;
+    }
+  };
+  while (i < n) {
+    size_t blen = 0, boff = 0;
+    int bscore = 0;
+    if (i + 4 <= n) {
+      u32 h = hash4(i);
+      u32 p = head[h];
+      for (int k = 0; k < depth && p != 0xFFFFFFFFu; ++k) {
+        size_t cand = p;
+        size_t l = 0;
+        size_t lim = n - i;
+        // allow long raw matches; emitter splits to max_match chunks
+        while (l < lim && in[cand + l] == in[i + l] && l < 4096) ++l;
+        size_t off = i - cand;
+        int extra = (off >= (1u << 16)) + (off >= (1u << 24));
+        if (l >= size_t(min_match + extra)) {
+          int score = int(l < 4096 ? l : 4096) * 8 - ilog2(u32(off)) - 11
+                      - 2 * (i > lit_start);
+          if (score > bscore) { bscore = score; blen = l; boff = off; }
+        }
+        if (chain.empty()) break;
+        p = chain[cand];
+        if (blen >= 128) break;
+      }
+    }
+    if (blen) {
+      flush_literals(i);
+      emit_match(blen, boff);
+      size_t stop = i + blen;
+      while (i < stop) {
+        if (i + 4 <= n) {
+          u32 h = hash4(i);
+          if (!chain.empty()) chain[i] = head[h];
+          head[h] = u32(i);
+        }
+        ++i;
+      }
+      lit_start = i;
+    } else {
+      if (i + 4 <= n) {
+        u32 h = hash4(i);
+        if (!chain.empty()) chain[i] = head[h];
+        head[h] = u32(i);
+      }
+      ++i;
+      if (i - lit_start >= 4096) flush_literals(i);
+    }
+  }
+  flush_literals(n);
+  return w;   // bytes needed; caller re-calls with a bigger cap if > cap
+}
+
 // Content-defined chunking: order-1-predictive rolling hash, boundary when
 // the hash drops below a threshold (reference behavior described in
 // SURVEY.md section 2.6 component 35; exact boundaries are an

@@ -260,9 +260,11 @@ class _ModelBuilder:
         self.bytes_modeled.append(bits / 8.0)
 
     # ---------------------------------------------------------------------
-    def build_config(self) -> str:
+    def build_config(self, ph: int = 0, pm: int = 0,
+                     pcomp_body: Optional[str] = None) -> str:
         n = self.n
-        lines = [f"comp 9 16 0 0 {n}"]
+        hh, hm = (9, 16) if n else (0, 0)
+        lines = [f"comp {hh} {hm} {ph} {pm} {n}"]
         for i, c in enumerate(self.comps):
             lines.append(f"  {i} {c}")
         body = ["hcomp"]
@@ -272,8 +274,62 @@ class _ModelBuilder:
             body += self.hcomp
         body.append("halt")
         lines.append(" ".join(body))
-        lines.append("post 0 end")
+        if pcomp_body is not None:
+            lines.append("pcomp ;")
+            lines.append(pcomp_body)
+            lines.append("end")
+        else:
+            lines.append("post 0 end")
         return "\n".join(lines)
+
+
+def lz77_pcomp_source(min_match: int) -> str:
+    """ZPAQL postprocessor inverting the byte-aligned LZ77 stream.
+
+    Stream format (reference libzpaq.cpp:6211-6222): code byte 00xxxxxx =
+    x+1 literals follow; yyxxxxxx (y>=1) = y+1 offset bytes MSB-first
+    follow, match length x+minMatch, stored offset = off-1.
+
+    Register use (persistent across run() calls within a segment):
+      R0 = state (0 code, 1 offset bytes, 2 literals), R1 = offset
+      accumulator, R2 = offset bytes remaining, R3 = count, B = output
+      ring pointer into M (size 2^pm >= block size).
+    """
+    return f"""
+  a> 255 if halt endif (segment end: nothing to flush)
+  c=a (save the input byte)
+  a=r 0
+  a== 1 if (collect an offset byte)
+    a=r 1 a<<= 8 a+=c r=a 1
+    a=r 2 a-- r=a 2
+    a== 0 if (offset complete: copy the match)
+      a=r 1 a++ c=a (c = distance)
+      a=b a-=c c=a (c = source = b - distance)
+      d=r 3
+      do
+        a=*c *b=a out b++ c++ d--
+        a=d a> 0 while
+      a=0 r=a 0
+    endif
+    halt
+  endif
+  a== 2 if (literal byte)
+    a=c *b=a out b++
+    a=r 3 a-- r=a 3
+    a== 0 if a=0 r=a 0 endif
+    halt
+  endif
+  (state 0: code byte)
+  a=c a< 64 if (literal run of code+1)
+    a++ r=a 3
+    a= 2 r=a 0
+  else (match: (code>>6)+1 offset bytes, length (code&63)+minMatch)
+    a=c a>>= 6 a++ r=a 2
+    a=c a&= 63 a+= {min_match} r=a 3
+    a=0 r=a 1
+    a= 1 r=a 0
+  endif
+  halt"""
 
 
 # ---- level presets ------------------------------------------------------
@@ -290,10 +346,10 @@ def level_method(level: int, block_arg: int = 4, ease: int = 128,
     e89 = 4 if dtype in (2, 3) else 0
     if level == 0:
         return f"x{b}.0"
-    if level == 1:                      # fast packed LZ77, store-coded
-        return f"x{b}.{1 + e89}.5.0.3.22"
+    if level == 1:                      # fast byte-aligned LZ77, store-coded
+        return f"x{b}.{2 + e89}.6.0.3.22"
     if level == 2:                      # stronger LZ77, same decode speed
-        return f"x{b}.{1 + e89}.4.0.7.{min(b + 21, 24)}"
+        return f"x{b}.{2 + e89}.5.0.8.26"
     if level == 3:                      # BWT + low-order chain
         return f"x{b}.{3 + e89}ci1"
     if level == 4:                      # CM: order chain + match + word
@@ -335,7 +391,18 @@ def make_model(method: str, n_components_hint: Optional[int] = None
             raise MethodError(f"unknown component command {letter!r}")
         fn(largs)
 
-    if builder.n == 0:
+    pcomp_body = None
+    ph = pm = 0
+    if pre.transform == 2:
+        pcomp_body = lz77_pcomp_source(max(1, pre.min_match))
+        pm = pre.block_bits             # output ring must hold a whole block
+    elif pre.transform in (1, 3) or pre.e8e9:
+        raise MethodError(
+            f"method {method!r}: transform {pre.transform}"
+            f"{'+E8E9' if pre.e8e9 else ''} not implemented yet "
+            "(packed LZ77 and BWT are upcoming)")
+
+    if builder.n == 0 and pcomp_body is None:
         return None, pre                # store mode (n=0 block)
-    model, _ = compile_config(builder.build_config())
+    model, _ = compile_config(builder.build_config(ph, pm, pcomp_body))
     return model, pre

@@ -88,13 +88,19 @@ class _Job:
     data: bytearray
 
 
-def _compress_d_block(model: Optional[Model], job: _Job, date: int) -> bytes:
+def _compress_d_block(model: Optional[Model], pre, job: _Job,
+                      date: int) -> bytes:
     comment = b"%d jDC\x01" % len(job.data)
     name = _jdc_name(date, "d", job.first_frag)
+    payload = bytes(job.data)
+    if pre.transform == 2:   # byte LZ77; the block's PCOMP inverts it
+        payload = native.lz77_encode(
+            payload, min_match=max(1, pre.min_match),
+            depth_log=max(1, pre.depth_log),
+            hash_bits=max(12, min(pre.hash_bits or 22, 27)))
     if model is None:
-        store = Model(hh=0, hm=0)
-        return native.compress_block(store, bytes(job.data), name, comment)
-    return native.compress_block(model, bytes(job.data), name, comment)
+        model = Model(hh=0, hm=0)
+    return native.compress_block(model, payload, name, comment)
 
 
 def add(archive: str, files: Sequence[str], method: str = "1",
@@ -108,11 +114,7 @@ def add(archive: str, files: Sequence[str], method: str = "1",
         existing = path.read_bytes()
     jd = read_archive(existing) if existing else Jidac()
 
-    model, pre = make_model(method)
-    if pre.transform != 0 or pre.e8e9:
-        raise AddError(
-            f"method {method!r}: LZ77/BWT/E8E9 preprocessors are device-side "
-            "work in progress; use store (-m0) or CM methods for now")
+    model, pre = make_model(method)   # raises for not-yet-supported methods
     block_cap = min(1 << pre.block_bits, 1 << 26)
 
     ext = scan_files(files)
@@ -175,7 +177,7 @@ def add(archive: str, files: Sequence[str], method: str = "1",
     threads = threads or min(8, (os.cpu_count() or 4))
     with concurrent.futures.ThreadPoolExecutor(max_workers=threads) as ex:
         d_blocks = list(ex.map(
-            lambda j: _compress_d_block(model, j, date), jobs))
+            lambda j: _compress_d_block(model, pre, j, date), jobs))
 
     # ---- assemble the transaction ----
     out = bytearray()

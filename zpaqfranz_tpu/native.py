@@ -76,6 +76,9 @@ def _load():
     lib.tz_sha1.argtypes = [C.c_char_p, C.c_size_t, C.c_char_p]
     lib.tz_e8e9.argtypes = [C.c_char_p, C.c_int64]
     lib.tz_inverse_e8e9.argtypes = [C.c_char_p, C.c_int64]
+    lib.tz_lz77_encode.restype = C.c_size_t
+    lib.tz_lz77_encode.argtypes = [C.c_char_p, C.c_size_t, C.c_int, C.c_int,
+                                   C.c_int, C.c_char_p, C.c_size_t]
     lib.tz_cdc.restype = C.c_size_t
     lib.tz_cdc.argtypes = [C.c_char_p, C.c_size_t, C.c_int,
                            C.POINTER(C.c_uint32), C.c_size_t]
@@ -205,6 +208,21 @@ def e8e9_inverse(data: bytes) -> bytes:
     buf = C.create_string_buffer(bytes(data), len(data))
     lib.tz_inverse_e8e9(buf, len(data))
     return buf.raw[:len(data)]
+
+
+def lz77_encode(data: bytes, min_match: int = 6, depth_log: int = 4,
+                hash_bits: int = 22) -> bytes:
+    """Byte-aligned LZ77 transform (reference level-2 stream format)."""
+    lib = _load()
+    cap = len(data) + len(data) // 32 + 64
+    out = C.create_string_buffer(cap)
+    need = lib.tz_lz77_encode(data, len(data), min_match, depth_log,
+                              hash_bits, out, cap)
+    if need > cap:
+        out = C.create_string_buffer(need)
+        need = lib.tz_lz77_encode(data, len(data), min_match, depth_log,
+                                  hash_bits, out, need)
+    return out.raw[:need]
 
 
 def cdc_boundaries(data: bytes, mean_bits: int = 16) -> List[int]:
