@@ -8,6 +8,7 @@
 
 #include "tzpaq.h"
 
+#include <algorithm>
 #include <cassert>
 
 namespace tzpaq {
@@ -869,6 +870,126 @@ void tz_sha1(const u8* data, size_t n, u8* out20) {
 
 void tz_e8e9(u8* buf, i64 n) { e8e9(buf, n); }
 void tz_inverse_e8e9(u8* buf, i64 n) { inverse_e8e9(buf, n); }
+
+}  // extern "C" — paused: the suffix-array code below needs C++ linkage
+
+// ---- suffix array (SA-IS, clean-room implementation of the standard
+// induced-sorting algorithm) + BWT forward transform -----------------------
+namespace {
+
+template <typename T>
+static void sais_core(const T* s, i32* sa, i32 n, i32 K, std::vector<i32>& bkt) {
+  if (n == 0) return;
+  if (n == 1) { sa[0] = 0; return; }
+  std::vector<bool> stype(n, false);           // true = S-type
+  stype[n - 1] = true;
+  for (i32 i = n - 2; i >= 0; --i)
+    stype[i] = s[i] < s[i + 1] || (s[i] == s[i + 1] && stype[i + 1]);
+  auto is_lms = [&](i32 i) { return i > 0 && stype[i] && !stype[i - 1]; };
+  auto bucket_ends = [&](bool tail) {
+    bkt.assign(K + 1, 0);
+    for (i32 i = 0; i < n; ++i) ++bkt[s[i]];
+    i32 sum = 0;
+    for (i32 c = 0; c <= K; ++c) {
+      sum += bkt[c];
+      bkt[c] = tail ? sum : sum - bkt[c];
+    }
+  };
+  auto induce = [&](const std::vector<i32>& lms) {
+    std::fill(sa, sa + n, -1);
+    bucket_ends(true);
+    for (i32 k = i32(lms.size()) - 1; k >= 0; --k)
+      sa[--bkt[s[lms[k]]]] = lms[k];
+    bucket_ends(false);
+    for (i32 i = 0; i < n; ++i) {
+      i32 j = sa[i] - 1;
+      if (j >= 0 && !stype[j]) sa[bkt[s[j]]++] = j;
+    }
+    bucket_ends(true);
+    for (i32 i = n - 1; i >= 0; --i) {
+      i32 j = sa[i] - 1;
+      if (j >= 0 && stype[j]) sa[--bkt[s[j]]] = j;
+    }
+  };
+  std::vector<i32> lms;
+  for (i32 i = 1; i < n; ++i)
+    if (is_lms(i)) lms.push_back(i);
+  induce(lms);
+  // name LMS substrings in sorted order
+  i32 nlms = i32(lms.size());
+  if (nlms > 0) {
+    std::vector<i32> sorted_lms;
+    sorted_lms.reserve(nlms);
+    for (i32 i = 0; i < n; ++i)
+      if (is_lms(sa[i])) sorted_lms.push_back(sa[i]);
+    std::vector<i32> name(n, -1);
+    i32 cur = 0;
+    name[sorted_lms[0]] = 0;
+    for (i32 k = 1; k < nlms; ++k) {
+      i32 a = sorted_lms[k - 1], b = sorted_lms[k];
+      bool diff = false;
+      for (i32 d = 0;; ++d) {
+        if (a + d >= n || b + d >= n
+            || s[a + d] != s[b + d] || stype[a + d] != stype[b + d]) {
+          diff = true; break;
+        }
+        if (d > 0 && (is_lms(a + d) || is_lms(b + d))) {
+          diff = !(is_lms(a + d) && is_lms(b + d));
+          break;
+        }
+      }
+      if (diff) ++cur;
+      name[sorted_lms[k]] = cur;
+    }
+    if (cur + 1 < nlms) {               // names not unique: recurse
+      std::vector<i32> s1(nlms);
+      i32 j = 0;
+      for (i32 i = 0; i < n; ++i)
+        if (name[i] >= 0) s1[j++] = name[i];
+      std::vector<i32> sa1(nlms);
+      sais_core(s1.data(), sa1.data(), nlms, cur, bkt);
+      std::vector<i32> ordered(nlms);
+      for (i32 k = 0; k < nlms; ++k) ordered[k] = lms[sa1[k]];
+      induce(ordered);
+    } else {
+      induce(sorted_lms);
+    }
+  }
+}
+
+}  // namespace
+
+// sais_core requires s[n-1] to be a unique smallest sentinel (the standard
+// SA-IS invariant, maintained recursively by LMS naming). The public entry
+// appends an explicit 0 sentinel with the alphabet shifted up by one.
+static void sais_u8(const u8* s, i32* sa, i32 n) {
+  std::vector<i32> t(size_t(n) + 1);
+  for (i32 i = 0; i < n; ++i) t[i] = i32(s[i]) + 1;
+  t[n] = 0;
+  std::vector<i32> sa2(size_t(n) + 1);
+  std::vector<i32> bkt;
+  sais_core(t.data(), sa2.data(), n + 1, 256, bkt);
+  for (i32 i = 0; i < n; ++i) sa[i] = sa2[i + 1];
+}
+
+// BWT in the reference stream layout (libzpaq.cpp:6317-6327 fill level 3):
+// out[0] = in[n-1]; out[i] = in[sa[i-1]-1] or 255 at the sentinel row; then
+// the sentinel row index as 4 LSB-first bytes. Output length n+5.
+extern "C" size_t tz_bwt_encode(const u8* in, size_t n, u8* out, size_t cap) {
+  if (cap < n + 5) return n + 5;
+  std::vector<i32> sa(n);
+  sais_u8(in, sa.data(), i32(n));
+  u32 idx = 0;
+  out[0] = n ? in[n - 1] : 255;
+  for (size_t i = 1; i <= n; ++i) {
+    if (sa[i - 1] == 0) { idx = u32(i); out[i] = 255; }
+    else out[i] = in[sa[i - 1] - 1];
+  }
+  for (int k = 0; k < 4; ++k) out[n + 1 + k] = u8(idx >> (8 * k));
+  return n + 5;
+}
+
+extern "C" {  // resume C ABI
 
 // Byte-aligned LZ77 encoder (the reference's "level 2" stream format,
 // libzpaq.cpp:6211-6222 comment):

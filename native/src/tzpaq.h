@@ -167,8 +167,5 @@ void inverse_e8e9(u8* buf, i64 n);  // decode-side inverse of e8e9
 // args[0]=log2 bufsize MB, args[1]=level(1,2,3)+4*e8e9, args[2]=minMatch,
 // args[3]=minMatch2, args[4]=log bucket, args[5]=log ht size (or args[0]+21
 // for suffix-array search), args[6]=lookahead.
-void lz77_encode(const u8* in, size_t n, const int args[9], std::vector<u8>& out);
-void sais(const u8* s, i32* sa, i32 n);                   // suffix array
-void inverse_bwt(const u8* in, size_t n, u32 idx, std::vector<u8>& out);
 
 }  // namespace tzpaq

@@ -360,6 +360,63 @@ def level_method(level: int, block_arg: int = 4, ease: int = 128,
     raise MethodError(f"unknown level {level}")
 
 
+def bwt_pcomp_source() -> str:
+    """ZPAQL postprocessor inverting the BWT stream.
+
+    Stream (reference libzpaq.cpp:6317-6327): B[0..n] = last column over the
+    sorted suffixes with the sentinel row's byte replaced by 255, followed by
+    the sentinel row index as 4 LSB-first bytes.  Inverse: counting sort to
+    get per-char row bases (row 0 is the sentinel), build the successor
+    permutation psi in H[256+row] (psi(LF(i)) = i), then walk n steps from
+    row idx emitting B[psi^k(idx)].
+
+    Memory: M buffers the n+5 input bytes (pm = block bits); H holds 256
+    counters plus psi (ph = block bits, 4*2^ph bytes) — the documented
+    "4 times the block size" BWT decode cost (libzpaq.h:137-141).
+    Registers: R1 = n, R2 = idx, R3 = n+1, R4 = walk cursor; B = input
+    write pointer during buffering.
+    """
+    return """
+  a> 255 ifnot *b=a b++ halt endif (buffer one input byte)
+  (segment end: b = n+5 total bytes)
+  a=b a< 5 if b=0 halt endif
+  a=b a-= 5 r=a 1 (n)
+  a++ r=a 3 (n+1)
+  a=r 1 a+= 4 b=a a=*b (idx, 4 bytes LSB first)
+  b-- a<<= 8 a+=*b
+  b-- a<<= 8 a+=*b
+  b-- a<<= 8 a+=*b
+  r=a 2
+  d=0 do *d=0 d++ a=d a> 255 until (zero the counters)
+  b=0 c=r 3 (count byte occurrences, skipping the sentinel row)
+  do
+    a=r 2 a==b ifnot d=*b *d++ endif
+    b++ a=b a==c until
+  c= 1 d=0 (exclusive prefix sums -> per-char first row, sentinel = row 0)
+  do
+    a=*d *d=c a+=c c=a d++ a=d a> 255 until
+  b=0 c=r 3 (build psi: H[256 + base[M[b]]++] = b)
+  do
+    a=r 2 a==b ifnot
+      d=*b
+      a=*d a++ *d=a
+      a-- a+= 255 a++ d=a
+      *d=b
+    endif
+    b++ a=b a==c until
+  a=r 1 a== 0 if b=0 halt endif
+  a=r 2 r=a 4 (walk n rows from idx)
+  c=r 1
+  do
+    a=r 4 a+= 255 a++ d=a
+    a=*d r=a 4
+    b=a a=*b out
+    c--
+    a=c a> 0 while
+  b=0
+  halt"""
+
+
 def make_model(method: str, n_components_hint: Optional[int] = None
                ) -> Tuple[Optional[Model], PreSpec]:
     """Compile a method string into (Model or None for store, PreSpec)."""
@@ -396,11 +453,15 @@ def make_model(method: str, n_components_hint: Optional[int] = None
     if pre.transform == 2:
         pcomp_body = lz77_pcomp_source(max(1, pre.min_match))
         pm = pre.block_bits             # output ring must hold a whole block
-    elif pre.transform in (1, 3) or pre.e8e9:
+    elif pre.transform == 3:
+        pcomp_body = bwt_pcomp_source()
+        pm = pre.block_bits             # input buffer (n+5 <= block size)
+        ph = pre.block_bits             # 256 counters + psi permutation
+    elif pre.transform == 1 or pre.e8e9:
         raise MethodError(
             f"method {method!r}: transform {pre.transform}"
             f"{'+E8E9' if pre.e8e9 else ''} not implemented yet "
-            "(packed LZ77 and BWT are upcoming)")
+            "(packed LZ77 and the E8E9 postprocessor are upcoming)")
 
     if builder.n == 0 and pcomp_body is None:
         return None, pre                # store mode (n=0 block)

@@ -98,6 +98,8 @@ def _compress_d_block(model: Optional[Model], pre, job: _Job,
             payload, min_match=max(1, pre.min_match),
             depth_log=max(1, pre.depth_log),
             hash_bits=max(12, min(pre.hash_bits or 22, 27)))
+    elif pre.transform == 3:  # BWT; the block's PCOMP inverts it
+        payload = native.bwt_encode(payload)
     if model is None:
         model = Model(hh=0, hm=0)
     return native.compress_block(model, payload, name, comment)

@@ -76,6 +76,9 @@ def _load():
     lib.tz_sha1.argtypes = [C.c_char_p, C.c_size_t, C.c_char_p]
     lib.tz_e8e9.argtypes = [C.c_char_p, C.c_int64]
     lib.tz_inverse_e8e9.argtypes = [C.c_char_p, C.c_int64]
+    lib.tz_bwt_encode.restype = C.c_size_t
+    lib.tz_bwt_encode.argtypes = [C.c_char_p, C.c_size_t, C.c_char_p,
+                                  C.c_size_t]
     lib.tz_lz77_encode.restype = C.c_size_t
     lib.tz_lz77_encode.argtypes = [C.c_char_p, C.c_size_t, C.c_int, C.c_int,
                                    C.c_int, C.c_char_p, C.c_size_t]
@@ -223,6 +226,14 @@ def lz77_encode(data: bytes, min_match: int = 6, depth_log: int = 4,
         need = lib.tz_lz77_encode(data, len(data), min_match, depth_log,
                                   hash_bits, out, need)
     return out.raw[:need]
+
+
+def bwt_encode(data: bytes) -> bytes:
+    """BWT transform (reference level-3 stream format, n+5 bytes out)."""
+    lib = _load()
+    out = C.create_string_buffer(len(data) + 5)
+    n = lib.tz_bwt_encode(data, len(data), out, len(data) + 5)
+    return out.raw[:n]
 
 
 def cdc_boundaries(data: bytes, mean_bits: int = 16) -> List[int]:
