@@ -871,6 +871,142 @@ void tz_sha1(const u8* data, size_t n, u8* out20) {
 void tz_e8e9(u8* buf, i64 n) { e8e9(buf, n); }
 void tz_inverse_e8e9(u8* buf, i64 n) { inverse_e8e9(buf, n); }
 
+// ---- AES-128/192/256 CTR (FIPS-197, clean-room byte-oriented
+// implementation; encrypt-only — CTR needs no decryption rounds).
+// Keystream block layout matches the reference archive format
+// (libzpaq.cpp:545-556): counter block = salt[0..7] MSB-first || i>>32 || i
+// where i = byte_offset/16, XORed into the data at the right alignment.
+static u8 aes_sbox[256];
+static bool aes_ready = false;
+
+static void aes_init_tables() {
+  // generate the S-box from the field inverse + affine transform
+  u8 pow_[256], log_[256];
+  u8 x = 1;
+  for (int i = 0; i < 255; ++i) {
+    pow_[i] = x;
+    log_[x] = u8(i);
+    x = u8(x ^ (x << 1) ^ ((x & 0x80) ? 0x1B : 0));   // multiply by 3
+  }
+  pow_[255] = pow_[0];
+  for (int i = 0; i < 256; ++i) {
+    u8 inv = i ? pow_[255 - log_[i]] : 0;
+    u8 s = inv;
+    u8 r = inv;
+    for (int k = 0; k < 4; ++k) {
+      r = u8((r << 1) | (r >> 7));
+      s ^= r;
+    }
+    aes_sbox[i] = u8(s ^ 0x63);
+  }
+  aes_ready = true;
+}
+
+struct AESCTR {
+  u32 rk[60];
+  int rounds;
+  u8 iv[8];
+
+  static u32 sub_word(u32 w) {
+    return (u32(aes_sbox[(w >> 24) & 255]) << 24)
+         | (u32(aes_sbox[(w >> 16) & 255]) << 16)
+         | (u32(aes_sbox[(w >> 8) & 255]) << 8)
+         | aes_sbox[w & 255];
+  }
+
+  void set_key(const u8* key, int keylen, const u8* salt8) {
+    if (!aes_ready) aes_init_tables();
+    memcpy(iv, salt8, 8);
+    int nk = keylen / 4;
+    rounds = nk + 6;
+    for (int i = 0; i < nk; ++i)
+      rk[i] = (u32(key[4 * i]) << 24) | (u32(key[4 * i + 1]) << 16)
+            | (u32(key[4 * i + 2]) << 8) | key[4 * i + 3];
+    u32 rcon = 1;
+    for (int i = nk; i < 4 * (rounds + 1); ++i) {
+      u32 t = rk[i - 1];
+      if (i % nk == 0) {
+        t = sub_word((t << 8) | (t >> 24)) ^ (rcon << 24);
+        rcon = u8((rcon << 1) ^ ((rcon & 0x80) ? 0x1B : 0));
+      } else if (nk > 6 && i % nk == 4) {
+        t = sub_word(t);
+      }
+      rk[i] = rk[i - nk] ^ t;
+    }
+  }
+
+  static u8 xtime(u8 v) { return u8((v << 1) ^ ((v & 0x80) ? 0x1B : 0)); }
+
+  void encrypt_block(const u32 in[4], u8 out[16]) const {
+    u8 st[16];
+    for (int c = 0; c < 4; ++c)
+      for (int r = 0; r < 4; ++r)
+        st[4 * c + r] = u8(in[c] >> (24 - 8 * r)) ^ u8(rk[c] >> (24 - 8 * r));
+    for (int round = 1; round <= rounds; ++round) {
+      u8 t[16];
+      // SubBytes + ShiftRows
+      for (int c = 0; c < 4; ++c)
+        for (int r = 0; r < 4; ++r)
+          t[4 * c + r] = aes_sbox[st[4 * ((c + r) & 3) + r]];
+      if (round < rounds) {              // MixColumns
+        for (int c = 0; c < 4; ++c) {
+          u8 a0 = t[4 * c], a1 = t[4 * c + 1], a2 = t[4 * c + 2],
+             a3 = t[4 * c + 3];
+          st[4 * c] = u8(xtime(a0) ^ (xtime(a1) ^ a1) ^ a2 ^ a3);
+          st[4 * c + 1] = u8(a0 ^ xtime(a1) ^ (xtime(a2) ^ a2) ^ a3);
+          st[4 * c + 2] = u8(a0 ^ a1 ^ xtime(a2) ^ (xtime(a3) ^ a3));
+          st[4 * c + 3] = u8((xtime(a0) ^ a0) ^ a1 ^ a2 ^ xtime(a3));
+        }
+      } else {
+        memcpy(st, t, 16);
+      }
+      const u32* rkr = rk + 4 * round;
+      for (int c = 0; c < 4; ++c)
+        for (int r = 0; r < 4; ++r)
+          st[4 * c + r] ^= u8(rkr[c] >> (24 - 8 * r));
+    }
+    for (int c = 0; c < 4; ++c)
+      for (int r = 0; r < 4; ++r)
+        out[4 * c + r] = st[4 * c + r];
+  }
+
+  void crypt(u8* buf, size_t n, u64 offset) const {
+    u32 iv0 = (u32(iv[0]) << 24) | (u32(iv[1]) << 16) | (u32(iv[2]) << 8)
+            | iv[3];
+    u32 iv1 = (u32(iv[4]) << 24) | (u32(iv[5]) << 16) | (u32(iv[6]) << 8)
+            | iv[7];
+    for (u64 i = offset / 16; i <= (offset + n) / 16; ++i) {
+      u32 blk[4] = {iv0, iv1, u32(i >> 32), u32(i)};
+      u8 ks[16];
+      encrypt_block(blk, ks);
+      for (int j = 0; j < 16; ++j) {
+        i64 k = i64(i * 16 - offset) + j;
+        if (k >= 0 && k < i64(n)) buf[k] ^= ks[j];
+      }
+    }
+  }
+};
+
+extern "C" void tz_aes_ctr(const u8* key, int keylen, const u8* salt8,
+                           u8* buf, size_t n, u64 offset) {
+  AESCTR a;
+  a.set_key(key, keylen, salt8);
+  a.crypt(buf, n, offset);
+}
+
+// raw single-block encrypt for FIPS-197 test vectors
+extern "C" void tz_aes_block(const u8* key, int keylen, const u8* in16,
+                             u8* out16) {
+  AESCTR a;
+  u8 z[8] = {0};
+  a.set_key(key, keylen, z);
+  u32 blk[4];
+  for (int c = 0; c < 4; ++c)
+    blk[c] = (u32(in16[4 * c]) << 24) | (u32(in16[4 * c + 1]) << 16)
+           | (u32(in16[4 * c + 2]) << 8) | in16[4 * c + 3];
+  a.encrypt_block(blk, out16);
+}
+
 }  // extern "C" — paused: the suffix-array code below needs C++ linkage
 
 // ---- suffix array (SA-IS, clean-room implementation of the standard

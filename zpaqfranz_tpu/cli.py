@@ -75,9 +75,24 @@ def _until(sw) -> Optional[int]:
     return None
 
 
+def _key(sw) -> Optional[str]:
+    if "key" in sw and sw["key"]:
+        return sw["key"][0]
+    return None
+
+
 def _load_index(archive: str, sw):
     from .jidac.index import read_archive
     data = pathlib.Path(archive).read_bytes()
+    key = _key(sw)
+    if key is not None:
+        from .codec import crypto
+        data = crypto.decrypt_archive(data, key)
+    elif data and not (data[:4] == b"7kSt"
+                       or (data[:3] == b"zPQ" and len(data) > 3
+                           and data[3] >= 1)):
+        raise ValueError(
+            "not a zpaq archive (or encrypted: use -key PASSWORD)")
     return data, read_archive(data, until=_until(sw))
 
 
@@ -88,7 +103,8 @@ def cmd_add(archive, files, sw) -> int:
     t0 = time.time()
     nfiles, nfrags, nbytes = add(archive, files, method=method,
                                  fragment_bits=frag,
-                                 threads=int(sw.get("threads", ["0"])[0]))
+                                 threads=int(sw.get("threads", ["0"])[0]),
+                                 key=_key(sw))
     dt = time.time() - t0
     print(f"{nfiles} files added, {nfrags} fragments, "
           f"{_fmt_size(nbytes)} bytes in {dt:.2f}s")

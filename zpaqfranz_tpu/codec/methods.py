@@ -417,6 +417,42 @@ def bwt_pcomp_source() -> str:
   halt"""
 
 
+def e8e9_pcomp_source() -> str:
+    """ZPAQL postprocessor inverting the E8E9 x86 transform.
+
+    The encoder scans backward adding the block offset to the 3 middle bytes
+    of {E8|E9 xx xx xx 00|FF} (reference libzpaq.cpp:6117-6126); the inverse
+    therefore runs forward with a 4-byte delay: each incoming byte is
+    buffered in the M ring at C, and once 5 bytes are pending the window at
+    B is pattern-checked, rewritten (subtracting B mod 2^24), and its first
+    byte emitted. B/C grow monotonically (M indexes mod 2^pm; only the
+    5-byte window is live, so pm stays tiny). R5 saves the window base.
+    """
+    return """
+  a> 255 if (segment end: flush the pending tail, reset)
+    a=c a==b ifnot
+      do a=*b out b++ a=c a==b until
+    endif
+    b=0 c=0 halt
+  endif
+  *c=a c++
+  a=c a-=b a< 5 if halt endif (window not full yet)
+  a=*b a&= 254 a== 232 if (E8/E9 at window start)
+    a=b r=a 5
+    a+= 4 b=a a=*b (last window byte)
+    a++ a&= 254 a== 0 if (00 or FF: rewrite the middle 3 bytes)
+      b-- a=*b a<<= 8
+      b-- a+=*b a<<= 8
+      b-- a+=*b (a = middle 3 bytes, LSB first)
+      d=r 5 a-=d (subtract the block offset)
+      *b=a a>>= 8 b++ *b=a a>>= 8 b++ *b=a
+    endif
+    a=r 5 b=a
+  endif
+  a=*b out b++
+  halt"""
+
+
 def make_model(method: str, n_components_hint: Optional[int] = None
                ) -> Tuple[Optional[Model], PreSpec]:
     """Compile a method string into (Model or None for store, PreSpec)."""
@@ -457,11 +493,14 @@ def make_model(method: str, n_components_hint: Optional[int] = None
         pcomp_body = bwt_pcomp_source()
         pm = pre.block_bits             # input buffer (n+5 <= block size)
         ph = pre.block_bits             # 256 counters + psi permutation
+    elif pre.transform == 0 and pre.e8e9:
+        pcomp_body = e8e9_pcomp_source()
+        pm = 4                          # only a 5-byte window is live
     elif pre.transform == 1 or pre.e8e9:
         raise MethodError(
             f"method {method!r}: transform {pre.transform}"
             f"{'+E8E9' if pre.e8e9 else ''} not implemented yet "
-            "(packed LZ77 and the E8E9 postprocessor are upcoming)")
+            "(packed LZ77 and composite E8E9 postprocessors are upcoming)")
 
     if builder.n == 0 and pcomp_body is None:
         return None, pre                # store mode (n=0 block)

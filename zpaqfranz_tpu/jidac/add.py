@@ -100,6 +100,8 @@ def _compress_d_block(model: Optional[Model], pre, job: _Job,
             hash_bits=max(12, min(pre.hash_bits or 22, 27)))
     elif pre.transform == 3:  # BWT; the block's PCOMP inverts it
         payload = native.bwt_encode(payload)
+    elif pre.transform == 0 and pre.e8e9:
+        payload = native.e8e9_transform(payload)
     if model is None:
         model = Model(hh=0, hm=0)
     return native.compress_block(model, payload, name, comment)
@@ -107,14 +109,24 @@ def _compress_d_block(model: Optional[Model], pre, job: _Job,
 
 def add(archive: str, files: Sequence[str], method: str = "1",
         fragment_bits: int = 16, threads: int = 0,
-        date: Optional[int] = None, summary: bool = False
-        ) -> Tuple[int, int, int]:
+        date: Optional[int] = None, summary: bool = False,
+        key: Optional[str] = None) -> Tuple[int, int, int]:
     """Append one transaction. Returns (files added, frags added, bytes)."""
+    from ..codec import crypto
     existing = b""
     path = pathlib.Path(archive)
     if path.exists():
         existing = path.read_bytes()
-    jd = read_archive(existing) if existing else Jidac()
+    salt = None
+    plain = existing
+    if key is not None:
+        if existing:
+            salt = existing[:crypto.SALT_LEN]
+            plain = crypto.decrypt_archive(existing, key)
+        else:
+            salt = crypto.new_salt()
+            plain = b""
+    jd = read_archive(plain) if plain else Jidac()
 
     model, pre = make_model(method)   # raises for not-yet-supported methods
     block_cap = min(1 << pre.block_bits, 1 << 26)
@@ -214,8 +226,17 @@ def add(archive: str, files: Sequence[str], method: str = "1",
     out += native.compress_block(
         store, bytes(ibody), iname, b"%d jDC\x01" % len(ibody))
 
+    if key is not None:
+        if not existing:
+            payload = salt + crypto.encrypt_append(bytes(out), key, salt,
+                                                   crypto.SALT_LEN)
+        else:
+            payload = crypto.encrypt_append(bytes(out), key, salt,
+                                            len(existing))
+    else:
+        payload = bytes(out)
     with open(path, "ab") as f:
-        f.write(out)
+        f.write(payload)
     return len(changed), len(new_ht), len(out)
 
 

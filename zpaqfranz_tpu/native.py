@@ -76,6 +76,9 @@ def _load():
     lib.tz_sha1.argtypes = [C.c_char_p, C.c_size_t, C.c_char_p]
     lib.tz_e8e9.argtypes = [C.c_char_p, C.c_int64]
     lib.tz_inverse_e8e9.argtypes = [C.c_char_p, C.c_int64]
+    lib.tz_aes_ctr.argtypes = [C.c_char_p, C.c_int, C.c_char_p, C.c_char_p,
+                               C.c_size_t, C.c_uint64]
+    lib.tz_aes_block.argtypes = [C.c_char_p, C.c_int, C.c_char_p, C.c_char_p]
     lib.tz_bwt_encode.restype = C.c_size_t
     lib.tz_bwt_encode.argtypes = [C.c_char_p, C.c_size_t, C.c_char_p,
                                   C.c_size_t]
@@ -226,6 +229,22 @@ def lz77_encode(data: bytes, min_match: int = 6, depth_log: int = 4,
         need = lib.tz_lz77_encode(data, len(data), min_match, depth_log,
                                   hash_bits, out, need)
     return out.raw[:need]
+
+
+def aes_ctr(key: bytes, iv8: bytes, data: bytes, offset: int) -> bytes:
+    """AES-CTR keystream XOR at absolute byte offset (reference counter
+    layout: iv8 as two MSB words + 64-bit block index)."""
+    lib = _load()
+    buf = C.create_string_buffer(bytes(data), len(data))
+    lib.tz_aes_ctr(key, len(key), iv8, buf, len(data), offset)
+    return buf.raw[: len(data)]
+
+
+def aes_encrypt_block(key: bytes, block16: bytes) -> bytes:
+    lib = _load()
+    out = C.create_string_buffer(16)
+    lib.tz_aes_block(key, len(key), block16, out)
+    return out.raw
 
 
 def bwt_encode(data: bytes) -> bytes:

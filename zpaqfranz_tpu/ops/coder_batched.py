@@ -60,10 +60,12 @@ def _read_byte(data: jax.Array, pos: jax.Array) -> jax.Array:
     return jnp.where(pos < data.shape[1], b, 0).astype(U32)
 
 
-def _renorm_dec(ds: DecState, data: jax.Array) -> DecState:
+def _renorm_dec(ds: DecState, data: jax.Array, active=None) -> DecState:
     low, high, curr, pos = ds
     for _ in range(4):
         go = (high ^ low) < np.uint32(1 << 24)
+        if active is not None:
+            go = go & active
         byte = _read_byte(data, pos)
         high = jnp.where(go, (high << 8) | 255, high)
         low2 = low << 8
@@ -74,14 +76,18 @@ def _renorm_dec(ds: DecState, data: jax.Array) -> DecState:
     return DecState(low, high, curr, pos)
 
 
-def _decode_bit(ds: DecState, p: jax.Array, data: jax.Array
+def _decode_bit(ds: DecState, p: jax.Array, data: jax.Array, active=None
                 ) -> Tuple[jax.Array, DecState]:
-    """Decode one bit per lane at probability p (L,) u32 of a 1."""
+    """Decode one bit per lane at probability p (L,) u32 of a 1.
+    Inactive lanes keep their range state and consume no input."""
     mid = _range_split(ds.low, ds.high, p)
     y = ds.curr <= mid
     high = jnp.where(y, mid, ds.high)
     low = jnp.where(y, ds.low, mid + 1)
-    ds = _renorm_dec(DecState(low, high, ds.curr, ds.pos), data)
+    if active is not None:
+        high = jnp.where(active, high, ds.high)
+        low = jnp.where(active, low, ds.low)
+    ds = _renorm_dec(DecState(low, high, ds.curr, ds.pos), data, active)
     return y, ds
 
 
@@ -113,30 +119,28 @@ class BatchedDecoder:
                 "active": jnp.ones(L, bool)}
 
     def decode_byte(self, st: Dict, data: jax.Array) -> Tuple[Dict, jax.Array]:
-        """One lockstep byte across lanes; returns (state, byte|-1 per lane)."""
-        old = st
+        """One lockstep byte across lanes; returns (state, byte|-1 per lane).
+
+        Frozen/EOS lanes never touch their model tables (dropped scatters)
+        or consume input — no whole-state merges, so the per-byte cost is
+        O(active work), not O(model size)."""
         ds = st["dec"]
         ps = st["pred"]
         active = st["active"]
         L = active.shape[0]
         # EOS bit at p=0
-        eos, ds = _decode_bit(ds, jnp.zeros(L, U32), data)
+        eos, ds = _decode_bit(ds, jnp.zeros(L, U32), data, active)
         live = active & ~eos
         c = jnp.ones(L, U32)
         for phase in range(8):
-            p_final, p, ps = self.pred.predict(ps, phase)
+            p_final, p, ps = self.pred.predict(ps, phase, live)
             p2 = (p_final.astype(U32) * 2 + 1)
-            y, ds = _decode_bit(ds, p2, data)
+            y, ds = _decode_bit(ds, p2, data, live)
             c = c * 2 + y.astype(U32)
-            ps = self.pred.update(ps, p, y, phase)
+            ps = self.pred.update(ps, p, y, phase, live)
         byte = (c - 256).astype(I32)
-        new = {"pred": ps, "dec": ds, "active": live}
-        # lanes that were inactive or just hit EOS keep their old state,
-        # except 'active' which latches false
-        merged = _tree_where(live, new, old)
-        merged["active"] = live
         out = jnp.where(live, byte, -1)
-        return merged, out
+        return {"pred": ps, "dec": ds, "active": live}, out
 
     def decode(self, data: jax.Array, max_bytes: int
                ) -> Tuple[jax.Array, jax.Array, Dict]:
@@ -169,14 +173,21 @@ def _emit(es: EncState, byte: jax.Array, go: jax.Array) -> EncState:
     return EncState(es.low, es.high, out, es.cnt + go.astype(I32))
 
 
-def _encode_bit(es: EncState, y: jax.Array, p: jax.Array) -> EncState:
+def _encode_bit(es: EncState, y: jax.Array, p: jax.Array,
+                active=None) -> EncState:
+    """Encode one bit per lane; inactive lanes keep range state and emit
+    nothing (masked emission, no state merges)."""
     mid = _range_split(es.low, es.high, p)
     high = jnp.where(y, mid, es.high)
     low = jnp.where(y, es.low, mid + 1)
-    out, cnt = es.out, es.cnt
-    es = EncState(low, high, out, cnt)
+    if active is not None:
+        high = jnp.where(active, high, es.high)
+        low = jnp.where(active, low, es.low)
+    es = EncState(low, high, es.out, es.cnt)
     for _ in range(4):
         go = (es.high ^ es.low) < np.uint32(1 << 24)
+        if active is not None:
+            go = go & active
         es = _emit(es, (es.high >> 24) & 255, go)
         high = jnp.where(go, (es.high << 8) | 255, es.high)
         low2 = es.low << 8
@@ -213,26 +224,22 @@ class BatchedEncoder:
     def encode_byte(self, st: Dict, byte: jax.Array, is_data: jax.Array,
                     is_eos: jax.Array) -> Dict:
         """One lockstep byte: lanes with is_data encode byte, lanes with
-        is_eos encode the end marker, others are frozen."""
-        old = st
+        is_eos encode the end marker, others are frozen (masked scatters —
+        no whole-state merges)."""
         es, ps = st["enc"], st["pred"]
         L = byte.shape[0]
         zero = jnp.zeros(L, U32)
         # leading bit: 1 = EOS, 0 = byte follows (both at p=0)
-        es = _encode_bit(es, is_eos, zero)
+        es = _encode_bit(es, is_eos, zero, is_data | is_eos)
         c = byte.astype(U32)
         for phase in range(8):
-            p_final, p, ps = self.pred.predict(ps, phase)
+            p_final, p, ps = self.pred.predict(ps, phase, is_data)
             p2 = (p_final.astype(U32) * 2 + 1)
             y = (c >> (7 - phase)) & 1
             yb = y.astype(bool)
-            es2 = _encode_bit(es, yb, p2)
-            ps2 = self.pred.update(ps, p, yb, phase)
-            # EOS/frozen lanes skip the 8 data-bit phases
-            es = _tree_where(is_data, es2, es)
-            ps = _tree_where(is_data, ps2, ps)
-        new = {"pred": ps, "enc": es}
-        return _tree_where(is_data | is_eos, new, old)
+            es = _encode_bit(es, yb, p2, is_data)
+            ps = self.pred.update(ps, p, yb, phase, is_data)
+        return {"pred": ps, "enc": es}
 
     def encode(self, data: jax.Array, lengths: jax.Array) -> Dict:
         """Encode all lanes; scan of max(len)+1 steps. Returns final state

@@ -68,6 +68,25 @@ def _gather(tab: jax.Array, idx: jax.Array) -> jax.Array:
     return jnp.take_along_axis(tab, idx.astype(I32)[:, None], axis=1)[:, 0]
 
 
+def _midx(idx: jax.Array, active, size: int) -> jax.Array:
+    """Scatter index masked by lane activity: inactive lanes get an
+    out-of-range index and mode='drop' skips the write. This keeps frozen
+    lanes' tables untouched WITHOUT whole-table select copies (the O(table)
+    per-byte cost that killed the first TPU runs)."""
+    idx = idx.astype(I32)
+    if active is None:
+        return idx
+    return jnp.where(active, idx, jnp.int32(size))
+
+
+def _sel(active, new, old):
+    """Per-lane scalar merge; identity when no mask."""
+    if active is None:
+        return new
+    m = active.reshape((-1,) + (1,) * (new.ndim - 1))
+    return jnp.where(m, new, old)
+
+
 def _clamp2k(x):
     return jnp.clip(x, -2048, 2047)
 
@@ -165,16 +184,19 @@ class BatchedPredictor:
         return st
 
     # ------------------------------------------------------------------
-    def predict(self, st: Dict[str, jax.Array], phase: int
+    def predict(self, st: Dict[str, jax.Array], phase: int, active=None
                 ) -> Tuple[jax.Array, List[jax.Array], Dict[str, jax.Array]]:
         """One prediction step at static bit phase 0..7.
 
         Returns (p_final (L,) i32 in 0..32767, per-component stretched
         predictions, updated state — ICM/ISSE probes and MATCH bit selection
         mutate per-component scalars/tables exactly like the reference).
+        ``active`` (L,) bool freezes inactive lanes (their state, including
+        hash-table probe side effects, is left untouched).
         """
         st = dict(st)
         L = st["c8"].shape[0]
+        amask = active if active is not None else jnp.ones(L, bool)
         c8, hmap4 = st["c8"], st["hmap4"]
         p: List[jax.Array] = [jnp.zeros(L, I32) for _ in range(self.n)]
         new_probe = phase in (0, 4)  # c8==1 or 16<=c8<32: static per phase
@@ -186,17 +208,17 @@ class BatchedPredictor:
             elif t == T.CM:
                 size = 1 << cp[1]
                 cxt = (hi ^ hmap4) & np.uint32(size - 1)
-                st[f"cxt{i}"] = cxt
+                st[f"cxt{i}"] = _sel(active, cxt, st[f"cxt{i}"])
                 p[i] = _STRETCHT[(_gather(st[f"cm{i}"], cxt) >> 17).astype(I32)]
             elif t == T.ICM:
                 if new_probe:
                     ht, idx = _find(st[f"ht{i}"], cp[1] + 2, hi + 16 * c8,
-                                    jnp.ones(L, bool))
+                                    amask)
                     st[f"ht{i}"] = ht
-                    st[f"c{i}"] = idx.astype(U32)
+                    st[f"c{i}"] = _sel(active, idx.astype(U32), st[f"c{i}"])
                 cxt = _gather(st[f"ht{i}"],
                               st[f"c{i}"] + (hmap4 & 15)).astype(U32)
-                st[f"cxt{i}"] = cxt
+                st[f"cxt{i}"] = _sel(active, cxt, st[f"cxt{i}"])
                 p[i] = _STRETCHT[(_gather(st[f"cm{i}"], cxt) >> 8).astype(I32)]
             elif t == T.MATCH:
                 ht = st[f"ht{i}"]
@@ -204,7 +226,9 @@ class BatchedPredictor:
                 a = st[f"a{i}"]
                 byte = _gather(ht, (st[f"lim{i}"] - st[f"b{i}"]) & mask)
                 cbit = ((byte.astype(U32) >> (np.uint32(7 - phase))) & 1)
-                st[f"c{i}"] = jnp.where(a == 0, st[f"c{i}"], cbit)
+                st[f"c{i}"] = _sel(active,
+                                   jnp.where(a == 0, st[f"c{i}"], cbit),
+                                   st[f"c{i}"])
                 sign = cbit.astype(I32) * -2 + 1
                 pm = (_DT2K[a.astype(I32)] * sign) & 32767
                 p[i] = jnp.where(a == 0, 0, _STRETCHT[pm])
@@ -213,7 +237,7 @@ class BatchedPredictor:
             elif t == T.MIX2:
                 size = 1 << cp[1]
                 cxt = ((hi + (c8 & np.uint32(cp[5]))) & np.uint32(size - 1))
-                st[f"cxt{i}"] = cxt
+                st[f"cxt{i}"] = _sel(active, cxt, st[f"cxt{i}"])
                 w = _gather(st[f"a16{i}"], cxt)
                 p[i] = (w * p[cp[2]] + (65536 - w) * p[cp[3]]) >> 16
             elif t == T.MIX:
@@ -221,7 +245,7 @@ class BatchedPredictor:
                 size = 1 << cp[1]
                 cxt = ((hi + (c8 & np.uint32(cp[5])))
                        & np.uint32(size - 1)) * np.uint32(m)
-                st[f"cxt{i}"] = cxt
+                st[f"cxt{i}"] = _sel(active, cxt, st[f"cxt{i}"])
                 rows = st[f"cm{i}"]
                 cols = cxt.astype(I32)[:, None] + jnp.arange(m)[None, :]
                 wt = jnp.take_along_axis(rows, cols, axis=1)      # (L, m)
@@ -231,12 +255,12 @@ class BatchedPredictor:
             elif t == T.ISSE:
                 if new_probe:
                     ht, idx = _find(st[f"ht{i}"], cp[1] + 2, hi + 16 * c8,
-                                    jnp.ones(L, bool))
+                                    amask)
                     st[f"ht{i}"] = ht
-                    st[f"c{i}"] = idx.astype(U32)
+                    st[f"c{i}"] = _sel(active, idx.astype(U32), st[f"c{i}"])
                 cxt = _gather(st[f"ht{i}"],
                               st[f"c{i}"] + (hmap4 & 15)).astype(U32)
-                st[f"cxt{i}"] = cxt
+                st[f"cxt{i}"] = _sel(active, cxt, st[f"cxt{i}"])
                 wt = st[f"cm{i}"]
                 w0 = _gather(wt, cxt * 2)
                 w1 = _gather(wt, cxt * 2 + 1)
@@ -252,14 +276,15 @@ class BatchedPredictor:
                 v1 = (_gather(st[f"cm{i}"], (cxt + 1) & np.uint32(size - 1))
                       >> 10).astype(I32)
                 p[i] = _STRETCHT[(v0 * (64 - wt) + v1 * wt) >> 13]
-                st[f"cxt{i}"] = cxt + (wt >> 5).astype(U32)
+                st[f"cxt{i}"] = _sel(active, cxt + (wt >> 5).astype(U32),
+                                     st[f"cxt{i}"])
             else:
                 raise ValueError(f"unknown component type {t}")
         p_final = _SQUASHT[p[self.n - 1] + 2048]
         return p_final, p, st
 
     # ------------------------------------------------------------------
-    def _train(self, st, i, size_bits, limit, y):
+    def _train(self, st, i, size_bits, limit, y, active):
         """CM/SSE table training (reference libzpaq.h:1151-1157)."""
         cm = st[f"cm{i}"]
         size = cm.shape[1]
@@ -270,11 +295,15 @@ class BatchedPredictor:
         delta = ((error * _DT[count]) & -1024).astype(U32)
         pn2 = pn + delta + (count < limit).astype(U32)
         lanes = jnp.arange(cm.shape[0])
-        st[f"cm{i}"] = cm.at[lanes, idx.astype(I32)].set(pn2)
+        st[f"cm{i}"] = cm.at[lanes, _midx(idx, active, size)].set(
+            pn2, mode="drop")
 
     def update(self, st: Dict[str, jax.Array], p: List[jax.Array],
-               y: jax.Array, phase: int) -> Dict[str, jax.Array]:
-        """Train all components on bit y (L,), then advance c8/hmap4/HCOMP."""
+               y: jax.Array, phase: int, active=None
+               ) -> Dict[str, jax.Array]:
+        """Train all components on bit y (L,), then advance c8/hmap4/HCOMP.
+        Inactive lanes (``active`` False) are left fully untouched via
+        dropped scatters and per-lane scalar merges."""
         st = dict(st)
         L = y.shape[0]
         lanes = jnp.arange(L)
@@ -284,18 +313,19 @@ class BatchedPredictor:
         for i, cp in enumerate(self.comps):
             t = cp[0]
             if t == T.CM:
-                self._train(st, i, cp[1], cp[2] * 4, y)
+                self._train(st, i, cp[1], cp[2] * 4, y, active)
             elif t == T.ICM:
                 ht = st[f"ht{i}"]
                 idx = (st[f"c{i}"] + (hmap4 & 15)).astype(I32)
                 old = _gather(ht, idx)
-                st[f"ht{i}"] = ht.at[lanes, idx].set(
-                    _SNS[old.astype(I32) * 4 + yi])
+                st[f"ht{i}"] = ht.at[lanes, _midx(idx, active, ht.shape[1])].set(
+                    _SNS[old.astype(I32) * 4 + yi], mode="drop")
                 cm = st[f"cm{i}"]
                 cxt = st[f"cxt{i}"].astype(I32)
                 pn = _gather(cm, cxt)
                 delta = ((yi * 32767 - (pn >> 8).astype(I32)) >> 2).astype(U32)
-                st[f"cm{i}"] = cm.at[lanes, cxt].set(pn + delta)
+                st[f"cm{i}"] = cm.at[lanes, _midx(cxt, active, cm.shape[1])].set(
+                    pn + delta, mode="drop")
             elif t == T.MATCH:
                 ht, cm = st[f"ht{i}"], st[f"cm{i}"]
                 mask = np.uint32(ht.shape[1] - 1)
@@ -305,8 +335,8 @@ class BatchedPredictor:
                 pos = st[f"lim{i}"]
                 widx = (pos & mask).astype(I32)
                 old = _gather(ht, widx).astype(U32)
-                st[f"ht{i}"] = ht.at[lanes, widx].set(
-                    ((old * 2 + yu) & 255).astype(U8))
+                st[f"ht{i}"] = ht.at[lanes, _midx(widx, active, ht.shape[1])].set(
+                    ((old * 2 + yu) & 255).astype(U8), mode="drop")
                 ht = st[f"ht{i}"]
                 if phase == 7:  # byte boundary (cxt would reach 8)
                     pos1 = (pos + 1) & mask
@@ -314,6 +344,8 @@ class BatchedPredictor:
                     b_new = pos1 - _gather(cm, hidx)
                     b = jnp.where(a == 0, b_new, st[f"b{i}"])
                     need_scan = (a == 0) & ((b_new & mask) != 0)
+                    if active is not None:
+                        need_scan = need_scan & active
 
                     def scan_cond(carry):
                         _, active = carry
@@ -334,20 +366,26 @@ class BatchedPredictor:
                                   jnp.where(need_scan, a_scan,
                                             jnp.zeros_like(a)),
                                   jnp.minimum(a + 1, 255))
-                    st[f"cm{i}"] = cm.at[lanes, hidx].set(pos1)
-                    st[f"b{i}"] = b
-                    st[f"lim{i}"] = pos1
-                    st[f"cxt{i}"] = jnp.zeros_like(pos1)
+                    st[f"cm{i}"] = cm.at[lanes, _midx(hidx, active,
+                                                      cm.shape[1])].set(
+                        pos1, mode="drop")
+                    st[f"b{i}"] = _sel(active, b, st[f"b{i}"])
+                    st[f"lim{i}"] = _sel(active, pos1, st[f"lim{i}"])
+                    st[f"cxt{i}"] = _sel(active, jnp.zeros_like(pos1),
+                                         st[f"cxt{i}"])
                 else:
-                    st[f"cxt{i}"] = st[f"cxt{i}"] + 1
-                st[f"a{i}"] = a
+                    st[f"cxt{i}"] = _sel(active, st[f"cxt{i}"] + 1,
+                                         st[f"cxt{i}"])
+                st[f"a{i}"] = _sel(active, a, st[f"a{i}"])
             elif t == T.MIX2:
                 err = ((yi * 32767 - _SQUASHT[p[i] + 2048]) * cp[4]) >> 5
                 a16 = st[f"a16{i}"]
                 cxt = st[f"cxt{i}"].astype(I32)
                 w = _gather(a16, cxt)
                 w = w + ((err * (p[cp[2]] - p[cp[3]]) + (1 << 12)) >> 13)
-                st[f"a16{i}"] = a16.at[lanes, cxt].set(jnp.clip(w, 0, 65535))
+                st[f"a16{i}"] = a16.at[lanes, _midx(cxt, active,
+                                                   a16.shape[1])].set(
+                    jnp.clip(w, 0, 65535), mode="drop")
             elif t == T.MIX:
                 m = cp[3]
                 err = ((yi * 32767 - _SQUASHT[p[i] + 2048]) * cp[4]) >> 4
@@ -356,7 +394,11 @@ class BatchedPredictor:
                 wt = jnp.take_along_axis(cm, cols, axis=1)
                 pin = jnp.stack([p[cp[2] + j] for j in range(m)], axis=1)
                 wt2 = _clamp512k(wt + ((err[:, None] * pin + (1 << 12)) >> 13))
-                st[f"cm{i}"] = cm.at[lanes[:, None], cols].set(wt2)
+                if active is not None:
+                    cols = jnp.where(active[:, None], cols,
+                                     jnp.int32(cm.shape[1]))
+                st[f"cm{i}"] = cm.at[lanes[:, None], cols].set(
+                    wt2, mode="drop")
             elif t == T.ISSE:
                 err = yi * 32767 - _SQUASHT[p[i] + 2048]
                 cm = st[f"cm{i}"]
@@ -365,28 +407,36 @@ class BatchedPredictor:
                 w1 = _gather(cm, cxt * 2 + 1)
                 w0n = _clamp512k(w0 + ((err * p[cp[2]] + (1 << 12)) >> 13))
                 w1n = _clamp512k(w1 + ((err + 16) >> 5))
-                cm = cm.at[lanes, cxt * 2].set(w0n)
-                st[f"cm{i}"] = cm.at[lanes, cxt * 2 + 1].set(w1n)
+                cm = cm.at[lanes, _midx(cxt * 2, active, cm.shape[1])].set(
+                    w0n, mode="drop")
+                st[f"cm{i}"] = cm.at[lanes, _midx(cxt * 2 + 1, active,
+                                                  cm.shape[1])].set(
+                    w1n, mode="drop")
                 ht = st[f"ht{i}"]
                 idx = (st[f"c{i}"] + (hmap4 & 15)).astype(I32)
-                st[f"ht{i}"] = ht.at[lanes, idx].set(_SNS[cxt * 4 + yi])
+                st[f"ht{i}"] = ht.at[lanes, _midx(idx, active,
+                                                  ht.shape[1])].set(
+                    _SNS[cxt * 4 + yi], mode="drop")
             elif t == T.SSE:
-                self._train(st, i, cp[1], cp[4] * 4, y)
+                self._train(st, i, cp[1], cp[4] * 4, y, active)
         # ---- advance partial-byte state (static branch per phase)
         c8 = st["c8"] * 2 + yu
         if phase == 7:
             byte = (c8 - 256).astype(U32)
-            vm = self.vm.run(st["vm"], byte)
+            vm = self.vm.run(st["vm"], byte, active=active)
             st["vm"] = vm
-            st["c8"] = jnp.ones(L, U32)
-            st["hmap4"] = jnp.ones(L, U32)
+            st["c8"] = _sel(active, jnp.ones(L, U32), st["c8"])
+            st["hmap4"] = _sel(active, jnp.ones(L, U32), st["hmap4"])
             cols = np.array([i & self.hmask for i in range(max(self.n, 1))])
-            st["h"] = vm.h[:, cols]
+            st["h"] = _sel(active, vm.h[:, cols], st["h"])
         else:
-            st["c8"] = c8
+            st["c8"] = _sel(active, c8, st["c8"])
             if phase == 3:  # c8 lands in 16..31
-                st["hmap4"] = (hmap4 & 15) << 5 | yu << 4 | 1
+                st["hmap4"] = _sel(active, (hmap4 & 15) << 5 | yu << 4 | 1,
+                                   st["hmap4"])
             else:
-                st["hmap4"] = (hmap4 & np.uint32(0x1F0)) | (
-                    ((hmap4 & 15) * 2 + yu) & 15)
+                st["hmap4"] = _sel(
+                    active,
+                    (hmap4 & np.uint32(0x1F0)) | (((hmap4 & 15) * 2 + yu) & 15),
+                    st["hmap4"])
         return st

@@ -232,12 +232,19 @@ class BatchedVM:
         pc2 = jnp.where(active, pc_next, pc)
         return st2, pc2, new_halted, steps + 1
 
-    def run(self, st: VMState, a_in: jax.Array) -> VMState:
-        """Execute the program once per lane with A = a_in (u32)."""
+    def run(self, st: VMState, a_in: jax.Array, active=None) -> VMState:
+        """Execute the program once per lane with A = a_in (u32).
+
+        Lanes where ``active`` is False start halted: their whole machine
+        state is left untouched (the step function freezes halted lanes)."""
         L = st.a.shape[0]
-        st = st._replace(a=a_in.astype(U32))
+        if active is None:
+            st = st._replace(a=a_in.astype(U32))
+            halted = jnp.zeros(L, bool)
+        else:
+            st = st._replace(a=jnp.where(active, a_in.astype(U32), st.a))
+            halted = ~active
         pc = jnp.zeros(L, I32)
-        halted = jnp.zeros(L, bool)
         steps = jnp.int32(0)
 
         def cond(carry):
