@@ -861,6 +861,26 @@ long tzc_compress_block(const u8* header, size_t header_len,
   }
 }
 
+// Run a PCOMP program over a decoded (pre-postprocessing) stream that
+// already contains the postprocessor selector prefix (0=PASS or
+// 1+psize+code), as produced by the device CM decoder. Returns output
+// bytes written (or -(needed) if cap too small, -1 on error).
+long tz_postprocess(int ph, int pm, const u8* data, size_t n,
+                    u8* out, size_t cap) {
+  try {
+    Sink sink;
+    PostProc pp;
+    pp.init(ph, pm, &sink);
+    for (size_t i = 0; i < n; ++i) pp.write(data[i]);
+    pp.write(-1);
+    if (sink.size() > cap) return -(long)sink.size();
+    memcpy(out, sink.v.data(), sink.size());
+    return (long)sink.size();
+  } catch (const std::exception&) {
+    return -1;
+  }
+}
+
 void tz_sha1(const u8* data, size_t n, u8* out20) {
   SHA1 s;
   s.init();

@@ -104,7 +104,7 @@ def cmd_add(archive, files, sw) -> int:
     nfiles, nfrags, nbytes = add(archive, files, method=method,
                                  fragment_bits=frag,
                                  threads=int(sw.get("threads", ["0"])[0]),
-                                 key=_key(sw))
+                                 key=_key(sw), use_device="tpu" in sw)
     dt = time.time() - t0
     print(f"{nfiles} files added, {nfrags} fragments, "
           f"{_fmt_size(nbytes)} bytes in {dt:.2f}s")
@@ -117,7 +117,8 @@ def cmd_extract(archive, files, sw) -> int:
     to = sw.get("to", ["."])[0]
     t0 = time.time()
     nfiles, nbytes = extract(data, jd, to, patterns=files,
-                             threads=int(sw.get("threads", ["0"])[0]))
+                             threads=int(sw.get("threads", ["0"])[0]),
+                             use_device="tpu" in sw)
     dt = time.time() - t0
     print(f"{nfiles} files, {_fmt_size(nbytes)} bytes extracted "
           f"in {dt:.2f}s ({nbytes / max(dt, 1e-9) / 1e6:.1f} MB/s)")

@@ -110,7 +110,8 @@ def _compress_d_block(model: Optional[Model], pre, job: _Job,
 def add(archive: str, files: Sequence[str], method: str = "1",
         fragment_bits: int = 16, threads: int = 0,
         date: Optional[int] = None, summary: bool = False,
-        key: Optional[str] = None) -> Tuple[int, int, int]:
+        key: Optional[str] = None,
+        use_device: bool = False) -> Tuple[int, int, int]:
     """Append one transaction. Returns (files added, frags added, bytes)."""
     from ..codec import crypto
     existing = b""
@@ -186,12 +187,16 @@ def add(archive: str, files: Sequence[str], method: str = "1",
     if cur.frags:
         jobs.append(cur)
 
-    # ---- compress d blocks (host-native; block-parallel via threads) ----
-    import concurrent.futures
-    threads = threads or min(8, (os.cpu_count() or 4))
-    with concurrent.futures.ThreadPoolExecutor(max_workers=threads) as ex:
-        d_blocks = list(ex.map(
-            lambda j: _compress_d_block(model, pre, j, date), jobs))
+    # ---- compress d blocks: device lanes or host threads ----
+    if use_device and model is not None and model.n > 0 and jobs:
+        from ..parallel.engine import encode_jidac_blocks
+        d_blocks = encode_jidac_blocks(model, pre, jobs, date, _jdc_name)
+    else:
+        import concurrent.futures
+        threads = threads or min(8, (os.cpu_count() or 4))
+        with concurrent.futures.ThreadPoolExecutor(max_workers=threads) as ex:
+            d_blocks = list(ex.map(
+                lambda j: _compress_d_block(model, pre, j, date), jobs))
 
     # ---- assemble the transaction ----
     out = bytearray()

@@ -85,8 +85,12 @@ def select_files(jd: Jidac, patterns: Sequence[str]) -> List[str]:
 
 def extract(data: bytes, jd: Jidac, to_dir: str,
             patterns: Sequence[str] = (), threads: int = 0,
-            dry_run: bool = False) -> Tuple[int, int]:
-    """Extract selected files under ``to_dir``. Returns (files, bytes)."""
+            dry_run: bool = False, use_device: bool = False
+            ) -> Tuple[int, int]:
+    """Extract selected files under ``to_dir``. Returns (files, bytes).
+
+    ``use_device``: decode modeled blocks as batched lanes on the JAX
+    device (TPU) instead of host threads (parallel/engine.py)."""
     names = select_files(jd, patterns)
     needed_blocks: Dict[int, Block] = {}
     for n in names:
@@ -102,12 +106,18 @@ def extract(data: bytes, jd: Jidac, to_dir: str,
     frag_bytes: Dict[int, bytes] = {}
     threads = threads or min(32, (os.cpu_count() or 4))
 
-    def work(blk: Block) -> Dict[int, bytes]:
-        return _verify_fragments(jd, blk, _decode_block(data, blk))
+    if use_device:
+        from ..parallel.engine import decode_jidac_blocks
+        decoded = decode_jidac_blocks(data, jd, blocks)
+        for blk in blocks:
+            frag_bytes.update(_verify_fragments(jd, blk, decoded[blk.offset]))
+    else:
+        def work(blk: Block) -> Dict[int, bytes]:
+            return _verify_fragments(jd, blk, _decode_block(data, blk))
 
-    with concurrent.futures.ThreadPoolExecutor(max_workers=threads) as ex:
-        for result in ex.map(work, blocks):
-            frag_bytes.update(result)
+        with concurrent.futures.ThreadPoolExecutor(max_workers=threads) as ex:
+            for result in ex.map(work, blocks):
+                frag_bytes.update(result)
 
     root = pathlib.Path(to_dir)
     total = 0

@@ -76,6 +76,9 @@ def _load():
     lib.tz_sha1.argtypes = [C.c_char_p, C.c_size_t, C.c_char_p]
     lib.tz_e8e9.argtypes = [C.c_char_p, C.c_int64]
     lib.tz_inverse_e8e9.argtypes = [C.c_char_p, C.c_int64]
+    lib.tz_postprocess.restype = C.c_long
+    lib.tz_postprocess.argtypes = [C.c_int, C.c_int, C.c_char_p, C.c_size_t,
+                                   C.c_char_p, C.c_size_t]
     lib.tz_aes_ctr.argtypes = [C.c_char_p, C.c_int, C.c_char_p, C.c_char_p,
                                C.c_size_t, C.c_uint64]
     lib.tz_aes_block.argtypes = [C.c_char_p, C.c_int, C.c_char_p, C.c_char_p]
@@ -229,6 +232,21 @@ def lz77_encode(data: bytes, min_match: int = 6, depth_log: int = 4,
         need = lib.tz_lz77_encode(data, len(data), min_match, depth_log,
                                   hash_bits, out, need)
     return out.raw[:need]
+
+
+def postprocess(ph: int, pm: int, data: bytes, out_hint: int = 0) -> bytes:
+    """Run the postprocessor over a decoded stream (selector prefix + body)."""
+    lib = _load()
+    cap = max(out_hint, len(data) * 4 + 1024)
+    out = C.create_string_buffer(cap)
+    rc = lib.tz_postprocess(ph, pm, data, len(data), out, cap)
+    if rc < -1:
+        cap = -rc
+        out = C.create_string_buffer(cap)
+        rc = lib.tz_postprocess(ph, pm, data, len(data), out, cap)
+    if rc < 0:
+        raise NativeError("postprocess failed")
+    return out.raw[:rc]
 
 
 def aes_ctr(key: bytes, iv8: bytes, data: bytes, offset: int) -> bytes:

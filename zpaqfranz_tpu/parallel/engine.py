@@ -1,0 +1,218 @@
+"""Device engine: jidac blocks as decoder/encoder lanes.
+
+The TPU mapping of the reference's one-OS-thread-per-block parallelism
+(SURVEY.md section 2.8): independent ZPAQ blocks become lanes of the batched
+coder — grouped by model (the COMP header fixes the traced graph), padded to
+shared shapes, decoded/encoded in lockstep on the device, and postprocessed
+(PASS strip or PCOMP inversion) on the host via the native engine.
+
+Also hosts the multi-chip sharding helpers: lanes shard over the mesh's
+'dp' axis; the big per-lane model tables may additionally shard their size
+axis over 'tp'. Used by __graft_entry__.dryrun_multichip and the dist tests.
+
+Jitted callables are cached per (model header, lane count bucket, length
+bucket) because compilation is expensive (minutes through the axon tunnel);
+lane/length bucketing keeps cache hits high across uneven block sizes.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .. import native
+from ..codec.container import ByteReader, find_block, read_comment, read_filename
+from ..zpaql.header import Model
+
+
+def _bucket(n: int) -> int:
+    """Round up to a power of two (min 8) for jit-cache friendliness."""
+    return max(8, 1 << math.ceil(math.log2(max(n, 1))))
+
+
+class DeviceCoder:
+    """Lazy per-model jitted decode/encode entry points."""
+
+    def __init__(self):
+        self._decode_cache: Dict[tuple, object] = {}
+        self._encode_cache: Dict[tuple, object] = {}
+
+    # ---- decode ---------------------------------------------------------
+    def decode_streams(self, model: Model, streams: Sequence[bytes],
+                       max_out: int) -> List[bytes]:
+        """Decode coded segment payloads (post-header bytes) in lanes.
+
+        Returns the PRE-postprocessing decoded bytes per stream, up to each
+        lane's EOS (selector prefix + body); ``max_out`` bounds the decoded
+        stream length per lane.
+        """
+        import jax
+        import jax.numpy as jnp
+        from ..ops.coder_batched import BatchedDecoder
+
+        L = _bucket(len(streams))
+        maxlen = _bucket(max(len(s) for s in streams))
+        max_out = _bucket(max_out)
+        data = np.zeros((L, maxlen), np.uint8)
+        for i, s in enumerate(streams):
+            data[i, : len(s)] = np.frombuffer(s, np.uint8)
+        key = (model.header_bytes(), L, maxlen, max_out)
+        fn = self._decode_cache.get(key)
+        if fn is None:
+            dec = BatchedDecoder(model)
+            fn = jax.jit(lambda d: dec.decode(d, max_out))
+            self._decode_cache[key] = fn
+        out, lengths, _ = fn(jnp.asarray(data))
+        out = np.asarray(out)
+        lengths = np.asarray(lengths)
+        return [bytes(out[i, : int(lengths[i])])
+                for i in range(len(streams))]
+
+    # ---- encode ---------------------------------------------------------
+    def encode_streams(self, model: Model, payloads: Sequence[bytes]
+                       ) -> List[bytes]:
+        """Arithmetic-code payloads (selector prefix included) in lanes.
+        Returns the coded byte stream per payload."""
+        import jax
+        import jax.numpy as jnp
+        from ..ops.coder_batched import BatchedEncoder
+
+        L = _bucket(len(payloads))
+        maxlen = _bucket(max(len(p) for p in payloads) + 1)
+        data = np.zeros((L, maxlen), np.uint8)
+        lengths = np.zeros(L, np.int32)
+        for i, p in enumerate(payloads):
+            data[i, : len(p)] = np.frombuffer(p, np.uint8)
+            lengths[i] = len(p)
+        cap = maxlen + maxlen // 2 + 64
+        key = (model.header_bytes(), L, maxlen)
+        fn = self._encode_cache.get(key)
+        if fn is None:
+            enc = BatchedEncoder(model, out_cap=cap)
+            fn = jax.jit(enc.encode)
+            self._encode_cache[key] = fn
+        st = fn(jnp.asarray(data), jnp.asarray(lengths))
+        out = np.asarray(st["enc"].out)
+        cnt = np.asarray(st["enc"].cnt)
+        return [bytes(out[i, : cnt[i]]) for i in range(len(payloads))]
+
+
+_CODER: Optional[DeviceCoder] = None
+
+
+def device_coder() -> DeviceCoder:
+    global _CODER
+    if _CODER is None:
+        _CODER = DeviceCoder()
+    return _CODER
+
+
+def parse_block_payload(data: bytes, offset: int
+                        ) -> Tuple[Model, int, bytes]:
+    """At a block's archive offset: parse header + first segment intro;
+    return (model, payload_start, payload_bytes-to-end-of-archive)."""
+    r = ByteReader(data, offset)
+    model = find_block(r)
+    if model is None:
+        raise RuntimeError(f"no block at offset {offset}")
+    read_filename(r)
+    read_comment(r)
+    return model, r.pos, bytes(r.data[r.pos:])
+
+
+def decode_jidac_blocks(data: bytes, jd, blocks,
+                        use_device: bool = True) -> Dict[int, bytes]:
+    """Decode jidac d blocks -> {block.offset: concatenated fragment bytes}.
+
+    Modeled blocks sharing one model run as device lanes (the device yields
+    the pre-postprocessing stream up to EOS; PASS stripping or PCOMP
+    inversion runs host-native over it). Store-mode blocks use the host
+    engine directly.
+    """
+    groups: Dict[bytes, List] = {}
+    host_blocks = []
+    metas = {}
+    for blk in blocks:
+        model, start, payload = parse_block_payload(data, blk.offset)
+        metas[blk.offset] = (model, payload)
+        if use_device and model.n > 0:
+            groups.setdefault(model.header_bytes(), []).append(blk)
+        else:
+            host_blocks.append(blk)
+
+    out: Dict[int, bytes] = {}
+    coder = device_coder()
+    for hdr, blks in groups.items():
+        model = metas[blks[0].offset][0]
+        streams = [metas[b.offset][1] for b in blks]
+        # pre-postprocessing stream bound: BWT adds 5 bytes + the embedded
+        # PCOMP blob; LZ77 output is smaller than the original; PASS adds 1.
+        max_out = max(b.usize for b in blks) + 8192
+        decoded = coder.decode_streams(model, streams, max_out)
+        for b, d in zip(blks, decoded):
+            res = native.postprocess(model.ph, model.pm, d, out_hint=b.usize)
+            if len(res) < b.usize:
+                raise RuntimeError(
+                    f"block at {b.offset}: {len(res)} < {b.usize} bytes")
+            out[b.offset] = res
+
+    for blk in host_blocks:
+        with native.NativeStream(data) as s:
+            s.seek(blk.offset)
+            segs = s.read_block()
+        if not segs:
+            raise RuntimeError(f"block at {blk.offset} not found")
+        out[blk.offset] = b"".join(seg.data for seg in segs)
+    return out
+
+
+def transform_payload(pre, payload: bytes) -> bytes:
+    """Apply the method's preprocessor (host side)."""
+    if pre.transform == 2:
+        return native.lz77_encode(
+            payload, min_match=max(1, pre.min_match),
+            depth_log=max(1, pre.depth_log),
+            hash_bits=max(12, min(pre.hash_bits or 22, 27)))
+    if pre.transform == 3:
+        return native.bwt_encode(payload)
+    if pre.transform == 0 and pre.e8e9:
+        return native.e8e9_transform(payload)
+    return payload
+
+
+def assemble_block(model: Model, coded: bytes, name: bytes, comment: bytes,
+                   sha1: Optional[bytes] = None, tag: bool = True) -> bytes:
+    """Wrap device-coded bytes in the standard block/segment framing
+    (mirror of the native tzc_compress_block writer)."""
+    from ..codec.container import TAG
+    out = bytearray()
+    if tag:
+        out += TAG
+    out += b"zPQ" + bytes([1 if model.n else 2, 1])
+    out += model.header_bytes()
+    out += b"\x01" + name + b"\x00" + comment + b"\x00\x00"
+    out += coded
+    out += b"\x00\x00\x00\x00"
+    if sha1 is not None:
+        out += bytes([253]) + sha1
+    else:
+        out += bytes([254])
+    out += bytes([255])
+    return bytes(out)
+
+
+def encode_jidac_blocks(model: Model, pre, jobs, date: int,
+                        jdc_name) -> List[bytes]:
+    """Compress jidac d-block jobs as device lanes; returns framed blocks."""
+    blob = model.pcomp_bytes()
+    prefix = (b"\x01" + blob) if blob else b"\x00"
+    payloads = [prefix + transform_payload(pre, bytes(j.data)) for j in jobs]
+    coded = device_coder().encode_streams(model, payloads)
+    out = []
+    for job, c in zip(jobs, coded):
+        name = jdc_name(date, "d", job.first_frag)
+        comment = b"%d jDC\x01" % len(job.data)
+        out.append(assemble_block(model, c, name, comment))
+    return out
