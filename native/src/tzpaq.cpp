@@ -1291,6 +1291,54 @@ size_t tz_cdc(const u8* data, size_t n, int mean_bits,
   return count;
 }
 
+// XXH64 (public xxHash algorithm specification, clean-room).
+u64 tz_xxh64(const u8* p, size_t len, u64 seed) {
+  const u64 P1 = 0x9E3779B185EBCA87ULL, P2 = 0xC2B2AE3D27D4EB4FULL,
+            P3 = 0x165667B19E3779F9ULL, P4 = 0x85EBCA77C2B2AE63ULL,
+            P5 = 0x27D4EB2F165667C5ULL;
+  auto rotl = [](u64 x, int r) { return (x << r) | (x >> (64 - r)); };
+  auto rd64 = [](const u8* q) {
+    u64 v; memcpy(&v, q, 8); return v;        // little-endian hosts
+  };
+  auto rd32 = [](const u8* q) {
+    u32 v; memcpy(&v, q, 4); return u64(v);
+  };
+  const u8* end = p + len;
+  u64 h;
+  if (len >= 32) {
+    u64 v1 = seed + P1 + P2, v2 = seed + P2, v3 = seed, v4 = seed - P1;
+    const u8* limit = end - 32;
+    do {
+      v1 = rotl(v1 + rd64(p) * P2, 31) * P1; p += 8;
+      v2 = rotl(v2 + rd64(p) * P2, 31) * P1; p += 8;
+      v3 = rotl(v3 + rd64(p) * P2, 31) * P1; p += 8;
+      v4 = rotl(v4 + rd64(p) * P2, 31) * P1; p += 8;
+    } while (p <= limit);
+    h = rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18);
+    auto merge = [&](u64 v) {
+      h = (h ^ (rotl(v * P2, 31) * P1)) * P1 + P4;
+    };
+    merge(v1); merge(v2); merge(v3); merge(v4);
+  } else {
+    h = seed + P5;
+  }
+  h += u64(len);
+  while (p + 8 <= end) {
+    h = rotl(h ^ (rotl(rd64(p) * P2, 31) * P1), 27) * P1 + P4;
+    p += 8;
+  }
+  if (p + 4 <= end) {
+    h = rotl(h ^ (rd32(p) * P1), 23) * P2 + P3;
+    p += 4;
+  }
+  while (p < end) {
+    h = rotl(h ^ (*p * P5), 11) * P1;
+    ++p;
+  }
+  h ^= h >> 33; h *= P2; h ^= h >> 29; h *= P3; h ^= h >> 32;
+  return h;
+}
+
 // CRC-32 (IEEE 802.3, reflected), table-driven.
 static u32 crc_table[256];
 static bool crc_ready = false;

@@ -60,6 +60,18 @@ def _archive_path(name: str) -> str:
     return name
 
 
+def _read_archive_bytes(archive: str) -> bytes:
+    """Read archive bytes; '*'/'?' wildcards concatenate multipart pieces
+    (reference subpart semantics, zsfx.cpp:413-421, 502-515)."""
+    if "*" in archive or "?" in archive:
+        import glob
+        parts = sorted(glob.glob(archive))
+        if not parts:
+            raise FileNotFoundError(archive)
+        return b"".join(pathlib.Path(p).read_bytes() for p in parts)
+    return pathlib.Path(archive).read_bytes()
+
+
 def _method(sw) -> str:
     for k in sw:
         if k.startswith("m") and k[1:].isdigit():
@@ -83,7 +95,7 @@ def _key(sw) -> Optional[str]:
 
 def _load_index(archive: str, sw):
     from .jidac.index import read_archive
-    data = pathlib.Path(archive).read_bytes()
+    data = _read_archive_bytes(archive)
     key = _key(sw)
     if key is not None:
         from .codec import crypto
@@ -215,6 +227,154 @@ def cmd_sum(archive, files, sw) -> int:
     return 0
 
 
+def cmd_paranoid(archive, files, sw) -> int:
+    """Full paranoid test: decode every block, rebuild every file in memory,
+    verify fragment SHA-1s plus per-file CRC-32/XXH64 (franz metadata)."""
+    from . import native
+    from .jidac.extract import select_files, _decode_block, _verify_fragments
+    from .jidac.index import fragment_to_block
+    data, jd = _load_index(archive, sw)
+    frag_bytes = {}
+    for blk in jd.block:
+        frag_bytes.update(_verify_fragments(jd, blk, _decode_block(data, blk)))
+    bad = 0
+    names = select_files(jd, files)
+    for n in names:
+        d = jd.dt[n]
+        content = b"".join(frag_bytes[f] for f in d.ptr)
+        if len(content) != d.size:
+            print(f"size mismatch: {n}")
+            bad += 1
+            continue
+        if d.crc32 is not None and native.crc32(content) != d.crc32:
+            print(f"crc32 mismatch: {n}")
+            bad += 1
+        elif d.xxh64 is not None and native.xxh64(content) != d.xxh64:
+            print(f"xxh64 mismatch: {n}")
+            bad += 1
+    print(f"paranoid: {len(names)} files, {len(jd.block)} blocks, "
+          f"{bad} errors")
+    return 2 if bad else 0
+
+
+def cmd_trim(archive, files, sw) -> int:
+    """Remove any trailing data after the last complete transaction."""
+    data, jd = _load_index(archive, sw)
+    end = jd.csize
+    if end < len(data):
+        with open(archive, "r+b") as f:
+            f.truncate(end)
+        print(f"trimmed {len(data) - end} trailing bytes "
+              f"({len(data)} -> {end})")
+    else:
+        print("nothing to trim")
+    return 0
+
+
+def cmd_crop(archive, files, sw) -> int:
+    """Truncate the archive to the end of version N (-until N)."""
+    until = _until(sw)
+    if until is None:
+        print("crop requires -until N", file=sys.stderr)
+        return 2
+    data, jd = _load_index(archive, {})
+    if until >= len(jd.ver) - 1:
+        print(f"archive already has {len(jd.ver) - 1} versions")
+        return 0
+    end = jd.ver[until + 1].offset if until + 1 < len(jd.ver) else jd.csize
+    with open(archive, "r+b") as f:
+        f.truncate(end)
+    print(f"cropped to version {until}: {len(data)} -> {end} bytes")
+    return 0
+
+
+def cmd_autotest(archive, files, sw) -> int:
+    """Self-test: extract the golden reference archive (file names are the
+    SHA-256 of their contents) and round-trip every compression level —
+    the analog of the reference's built-in autotest command."""
+    import hashlib as _h
+    import tempfile
+    from .jidac.add import add
+    from .jidac.extract import extract
+    from .jidac.index import read_archive
+    golden = pathlib.Path("/root/reference/AUTOTEST/sha256.zpaq")
+    errors = 0
+    with tempfile.TemporaryDirectory() as td:
+        if golden.exists() and "quick" not in sw:
+            data = golden.read_bytes()
+            jd = read_archive(data)
+            n, total = extract(data, jd, td + "/golden")
+            for p in pathlib.Path(td, "golden").iterdir():
+                if _h.sha256(p.read_bytes()).hexdigest().upper() != p.name.upper():
+                    print(f"golden mismatch: {p.name}")
+                    errors += 1
+            print(f"golden archive: {n} files, {errors} errors")
+        # round-trip every level on a small mixed tree
+        src = pathlib.Path(td, "src")
+        src.mkdir()
+        import random as _r
+        rng = _r.Random(1)
+        (src / "text").write_bytes(b"the quick brown fox " * 300)
+        (src / "bin").write_bytes(bytes(rng.randrange(256) for _ in range(4000)))
+        (src / "zero").write_bytes(bytes(3000))
+        import os as _os
+        cwd = _os.getcwd()
+        _os.chdir(td)
+        try:
+            for lvl in "012345":
+                arc = pathlib.Path(td, f"t{lvl}.zpaq")
+                add(str(arc), ["src"], method=lvl)
+                data = arc.read_bytes()
+                jd = read_archive(data)
+                out = pathlib.Path(td, f"out{lvl}")
+                extract(data, jd, str(out))
+                for p in src.iterdir():
+                    if (out / "src" / p.name).read_bytes() != p.read_bytes():
+                        print(f"level {lvl} mismatch: {p.name}")
+                        errors += 1
+                print(f"level {lvl}: OK ({arc.stat().st_size:,} bytes)")
+        finally:
+            _os.chdir(cwd)
+    print(f"autotest: {'PASS' if errors == 0 else f'{errors} ERRORS'}")
+    return 2 if errors else 0
+
+
+def cmd_bench(archive, files, sw) -> int:
+    """Quick host benchmark (the reference's 'b' franzomips analog)."""
+    import os as _os
+    import time as _t
+    from . import native
+    from .codec.methods import make_model
+    rng_data = (b"the quick brown fox jumps over the lazy dog " * 3000)
+    t0 = _t.time()
+    native.sha1(rng_data)
+    sha_t = _t.time() - t0
+    t0 = _t.time()
+    native.lz77_encode(rng_data)
+    lz_t = _t.time() - t0
+    model, _ = make_model("x4.0ci1")
+    t0 = _t.time()
+    native.compress_block(model, rng_data[:30000], b"b", b"c")
+    cm_t = _t.time() - t0
+    mb = len(rng_data) / 1e6
+    print(f"sha1 {mb / sha_t:7.1f} MB/s | lz77 {mb / lz_t:7.1f} MB/s | "
+          f"cm-encode {0.03 / cm_t:7.2f} MB/s | "
+          f"tpu-franzomips {int(mb / sha_t + mb / lz_t + 3000 * 0.03 / cm_t)}")
+    return 0
+
+
+def cmd_versum(archive, files, sw) -> int:
+    """Per-file stored checksums (hashdeep-style listing)."""
+    from .jidac.extract import select_files
+    data, jd = _load_index(archive, sw)
+    for n in select_files(jd, files):
+        d = jd.dt[n]
+        crc = f"{d.crc32:08X}" if d.crc32 is not None else "-"
+        xxh = f"{d.xxh64:016X}" if d.xxh64 is not None else "-"
+        print(f"{crc}  {xxh}  {d.size:>12}  {n}")
+    return 0
+
+
 COMMANDS = {
     "a": cmd_add, "add": cmd_add,
     "x": cmd_extract, "e": cmd_extract, "extract": cmd_extract,
@@ -224,6 +384,12 @@ COMMANDS = {
     "v": cmd_verify, "verify": cmd_verify,
     "versions": cmd_versions, "last": cmd_versions,
     "sum": cmd_sum,
+    "p": cmd_paranoid, "paranoid": cmd_paranoid, "w": cmd_paranoid,
+    "trim": cmd_trim,
+    "crop": cmd_crop,
+    "autotest": cmd_autotest,
+    "b": cmd_bench, "bench": cmd_bench,
+    "versum": cmd_versum,
 }
 
 

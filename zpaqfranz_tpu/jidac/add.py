@@ -161,8 +161,10 @@ def add(archive: str, files: Sequence[str], method: str = "1",
     file_ptrs: Dict[str, List[int]] = {}
     new_ht: List[HT] = []
 
+    file_sums: Dict[str, Tuple[int, int]] = {}
     for name in changed:
         data = pathlib.Path(name).read_bytes()
+        file_sums[name] = (native.crc32(data), native.xxh64(data))
         ptrs: List[int] = []
         start = 0
         for end in (native.cdc_boundaries(data, fragment_bits)
@@ -221,9 +223,11 @@ def add(archive: str, files: Sequence[str], method: str = "1",
     for name in changed:
         fdate, fsize, fattr = ext[name]
         ibody += struct.pack("<q", fdate) + name.encode() + b"\x00"
-        attr = struct.pack("<I", 3) + bytes(
-            [fattr & 255, (fattr >> 8) & 255, (fattr >> 16) & 255])
-        ibody += attr
+        crc, xxh = file_sums[name]
+        franz = b"fz" + struct.pack("<I", crc) + struct.pack("<Q", xxh)
+        attr_bytes = bytes([fattr & 255, (fattr >> 8) & 255,
+                            (fattr >> 16) & 255]) + franz
+        ibody += struct.pack("<I", len(attr_bytes)) + attr_bytes
         ptrs = file_ptrs[name]
         ibody += struct.pack("<I", len(ptrs))
         ibody += struct.pack(f"<{len(ptrs)}I", *ptrs)

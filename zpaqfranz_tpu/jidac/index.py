@@ -43,12 +43,34 @@ class HT:
 @dataclass
 class DT:
     """File entry: date (decimal YYYYMMDDHHMMSS UT, 0 = deleted), size,
-    attributes, and the ordered fragment-ID list."""
+    attributes, and the ordered fragment-ID list.
+
+    ``attr_raw`` preserves every stored attribute byte; the franz extension
+    appends b"fz" + crc32[4 LE] + xxh64[8 LE] after the base attributes
+    (readers that only use the low 8 attr bytes skip it, keeping archives
+    reference-compatible — SURVEY.md section 2.6 component 40)."""
 
     date: int = 0
     size: int = 0
     attr: int = 0
+    attr_raw: bytes = b""
     ptr: List[int] = field(default_factory=list)
+
+    @property
+    def crc32(self):
+        i = self.attr_raw.find(b"fz")
+        if i >= 0 and len(self.attr_raw) >= i + 14:
+            import struct
+            return struct.unpack("<I", self.attr_raw[i + 2:i + 6])[0]
+        return None
+
+    @property
+    def xxh64(self):
+        i = self.attr_raw.find(b"fz")
+        if i >= 0 and len(self.attr_raw) >= i + 14:
+            import struct
+            return struct.unpack("<Q", self.attr_raw[i + 6:i + 14])[0]
+        return None
 
 
 @dataclass
@@ -209,6 +231,7 @@ def read_archive(data: bytes, until: Optional[int] = None,
                                 for i in range(na):
                                     if i < 8:
                                         attr |= body[p + i] << (i * 8)
+                                dtr.attr_raw = bytes(body[p:p + na])
                                 p += na
                                 dtr.attr = attr
                                 ni = struct.unpack("<I", body[p:p + 4])[0]

@@ -93,6 +93,8 @@ def _load():
                            C.POINTER(C.c_uint32), C.c_size_t]
     lib.tz_crc32.restype = C.c_uint32
     lib.tz_crc32.argtypes = [C.c_uint32, C.c_char_p, C.c_size_t]
+    lib.tz_xxh64.restype = C.c_uint64
+    lib.tz_xxh64.argtypes = [C.c_char_p, C.c_size_t, C.c_uint64]
     lib.tz_install_tables.argtypes = [C.c_char_p] * 6
     lib.tz_install_tables(
         T.SNS.tobytes(),
@@ -288,3 +290,7 @@ def cdc_boundaries(data: bytes, mean_bits: int = 16) -> List[int]:
 
 def crc32(data: bytes, crc: int = 0) -> int:
     return _load().tz_crc32(crc, data, len(data))
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    return _load().tz_xxh64(data, len(data), seed)
