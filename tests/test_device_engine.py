@@ -65,3 +65,18 @@ def test_device_encode_lz77_pcomp(tree, tmp_path, monkeypatch):
     for p in tree.rglob("*"):
         rel = p.relative_to(tmp_path)
         assert (out / rel).read_bytes() == p.read_bytes()
+
+
+def test_device_add_bytes_equal_host_add(tree, tmp_path, monkeypatch):
+    """Determinism across engines: the device-encoded archive must be
+    byte-identical to the host-native one (same date pinned) — the analog
+    of the reference's JIT-vs-interpreter equivalence invariant
+    (SURVEY.md section 4 item 2)."""
+    from zpaqfranz_tpu.jidac.add import add as _add
+    monkeypatch.chdir(tmp_path)
+    a1 = tmp_path / "host.zpaq"
+    a2 = tmp_path / "dev.zpaq"
+    _add(str(a1), ["src"], method=_METHOD, date=20260101120000)
+    _add(str(a2), ["src"], method=_METHOD, date=20260101120000,
+         use_device=True)
+    assert a1.read_bytes() == a2.read_bytes()

@@ -363,6 +363,55 @@ def cmd_bench(archive, files, sw) -> int:
     return 0
 
 
+def cmd_backup(archive, files, sw) -> int:
+    """Multipart backup: one new part per run plus a .txt index with
+    per-part sizes and hashes (reference backup command semantics,
+    CHANGELOG.md:405-442)."""
+    import glob
+    from . import native
+    from .jidac.add import add
+    base = archive[:-5] if archive.endswith(".zpaq") else archive
+    spec = base + "_????????.zpaq"
+    method = _method(sw)
+    nfiles, nfrags, nbytes = add(spec, files, method=method, key=_key(sw),
+                                 use_device="tpu" in sw)
+    lines = []
+    for p in sorted(glob.glob(spec)):
+        d = pathlib.Path(p).read_bytes()
+        lines.append(f"{pathlib.Path(p).name} {len(d)} "
+                     f"{native.crc32(d):08X} {native.xxh64(d):016X}")
+    idx = pathlib.Path(base + "_backup.txt")
+    idx.write_text("\n".join(lines) + "\n")
+    print(f"{nfiles} files added, {nbytes:,} bytes; "
+          f"{len(lines)} parts indexed in {idx}")
+    return 0
+
+
+def cmd_testbackup(archive, files, sw) -> int:
+    """Verify every part against the backup index."""
+    from . import native
+    base = archive[:-5] if archive.endswith(".zpaq") else archive
+    idx = pathlib.Path(base + "_backup.txt")
+    if not idx.exists():
+        print(f"missing {idx}", file=sys.stderr)
+        return 2
+    bad = 0
+    for line in idx.read_text().splitlines():
+        name, size, crc, xxh = line.split()
+        p = pathlib.Path(idx.parent, name)
+        if not p.exists():
+            print(f"missing part {name}")
+            bad += 1
+            continue
+        d = p.read_bytes()
+        if (len(d) != int(size) or f"{native.crc32(d):08X}" != crc
+                or f"{native.xxh64(d):016X}" != xxh):
+            print(f"part differs: {name}")
+            bad += 1
+    print(f"testbackup: {bad} bad parts")
+    return 2 if bad else 0
+
+
 def cmd_versum(archive, files, sw) -> int:
     """Per-file stored checksums (hashdeep-style listing)."""
     from .jidac.extract import select_files
@@ -390,6 +439,8 @@ COMMANDS = {
     "autotest": cmd_autotest,
     "b": cmd_bench, "bench": cmd_bench,
     "versum": cmd_versum,
+    "backup": cmd_backup,
+    "testbackup": cmd_testbackup,
 }
 
 

@@ -33,6 +33,26 @@ class AddError(RuntimeError):
     pass
 
 
+def expand_parts(spec: str) -> Tuple[List[str], "object"]:
+    """Multipart archive spec ('*' or '?' wildcards) -> (existing parts in
+    order, namer(n) for new parts). Reference semantics: subpart
+    (zsfx.cpp:413-421): wildcards are replaced by the part number, padded
+    to the wildcard width."""
+    import glob
+    import re
+    m = re.search(r"[*?]+", spec)
+    if not m:
+        return ([spec] if pathlib.Path(spec).exists() else []), None
+    width = len(m.group(0))
+    existing = sorted(glob.glob(spec))
+
+    def namer(n: int) -> str:
+        num = str(n).zfill(max(width, 1))
+        return spec[:m.start()] + num + spec[m.end():]
+
+    return existing, namer
+
+
 def now_date() -> int:
     """Current UTC time as decimal YYYYMMDDHHMMSS."""
     t = datetime.datetime.now(datetime.timezone.utc)
@@ -114,10 +134,11 @@ def add(archive: str, files: Sequence[str], method: str = "1",
         use_device: bool = False) -> Tuple[int, int, int]:
     """Append one transaction. Returns (files added, frags added, bytes)."""
     from ..codec import crypto
-    existing = b""
-    path = pathlib.Path(archive)
-    if path.exists():
-        existing = path.read_bytes()
+    parts, part_namer = expand_parts(archive)
+    multipart = part_namer is not None
+    existing = b"".join(pathlib.Path(p).read_bytes() for p in parts)
+    path = pathlib.Path(parts[-1]) if parts else pathlib.Path(
+        part_namer(1) if multipart else archive)
     salt = None
     plain = existing
     if key is not None:
@@ -244,8 +265,15 @@ def add(archive: str, files: Sequence[str], method: str = "1",
                                             len(existing))
     else:
         payload = bytes(out)
-    with open(path, "ab") as f:
-        f.write(payload)
+    if multipart:
+        # one new part per transaction (reference: parts are rsync-friendly
+        # append units; `m`/consolidate merges them)
+        new_name = part_namer(len(parts) + 1)
+        with open(new_name, "wb") as f:
+            f.write(payload)
+    else:
+        with open(path, "ab") as f:
+            f.write(payload)
     return len(changed), len(new_ht), len(out)
 
 
