@@ -120,12 +120,22 @@ def cmd_add(archive, files, sw) -> int:
     dt = time.time() - t0
     print(f"{nfiles} files added, {nfrags} fragments, "
           f"{_fmt_size(nbytes)} bytes in {dt:.2f}s")
+    if "test" in sw and nfiles:
+        from .jidac.extract import verify_archive
+        data, jd = _load_index(archive, sw)
+        nblocks, nfr = verify_archive(data, jd)
+        print(f"post-add verify: {nblocks} blocks, {nfr} fragments OK")
     return 0
 
 
 def cmd_extract(archive, files, sw) -> int:
-    from .jidac.extract import extract
+    from .jidac.extract import extract, select_files
     data, jd = _load_index(archive, sw)
+    if "only" in sw or "not" in sw:
+        files = _apply_filters(select_files(jd, files), sw)
+        if not files:
+            print("no files selected")
+            return 0
     to = sw.get("to", ["."])[0]
     t0 = time.time()
     nfiles, nbytes = extract(data, jd, to, patterns=files,
@@ -137,10 +147,24 @@ def cmd_extract(archive, files, sw) -> int:
     return 0
 
 
+def _apply_filters(names, sw):
+    import fnmatch
+    only = sw.get("only", [])
+    nots = sw.get("not", [])
+    out = []
+    for n in names:
+        if only and not any(fnmatch.fnmatchcase(n, p) or n.startswith(p.rstrip("/") + "/") for p in only):
+            continue
+        if nots and any(fnmatch.fnmatchcase(n, p) or n.startswith(p.rstrip("/") + "/") for p in nots):
+            continue
+        out.append(n)
+    return out
+
+
 def cmd_list(archive, files, sw) -> int:
     from .jidac.extract import select_files
     data, jd = _load_index(archive, sw)
-    names = select_files(jd, files)
+    names = _apply_filters(select_files(jd, files), sw)
     total = 0
     for n in names:
         d = jd.dt[n]
@@ -363,6 +387,112 @@ def cmd_bench(archive, files, sw) -> int:
     return 0
 
 
+def cmd_find(archive, files, sw) -> int:
+    """Find files in the archive by substring or wildcard (reference f)."""
+    from .jidac.extract import select_files
+    data, jd = _load_index(archive, sw)
+    pats = files or ["*"]
+    shown = 0
+    for n in select_files(jd, []):
+        import fnmatch
+        if any(p.lower() in n.lower() or fnmatch.fnmatchcase(n, p)
+               for p in pats):
+            d = jd.dt[n]
+            print(f"{d.size:>12}  {n}")
+            shown += 1
+    print(f"{shown} found")
+    return 0
+
+
+def cmd_compare(archive, files, sw) -> int:
+    """Compare archive contents against the filesystem by content hash
+    (the reference c / v with hashing)."""
+    from . import native
+    from .jidac.extract import select_files, _decode_block, _verify_fragments
+    data, jd = _load_index(archive, sw)
+    names = _apply_filters(select_files(jd, files), sw)
+    frag_bytes = {}
+    for blk in jd.block:
+        frag_bytes.update(_verify_fragments(jd, blk, _decode_block(data, blk)))
+    same = differ = missing = 0
+    for n in names:
+        p = pathlib.Path(n)
+        if not p.exists():
+            missing += 1
+            print(f"- missing {n}")
+            continue
+        content = b"".join(frag_bytes[f] for f in jd.dt[n].ptr)
+        if p.read_bytes() == content:
+            same += 1
+        else:
+            differ += 1
+            print(f"# differs {n}")
+    print(f"{same} identical, {differ} differ, {missing} missing")
+    return 1 if (differ or missing) else 0
+
+
+def cmd_delete(archive, files, sw) -> int:
+    """Mark files deleted in a new transaction (reference d command)."""
+    import struct as _s
+    from . import native as _n
+    from .jidac.add import _jdc_name, now_date
+    from .jidac.extract import select_files
+    from .zpaql.header import Model
+    if not files:
+        print("d requires file patterns", file=sys.stderr)
+        return 2
+    data, jd = _load_index(archive, sw)
+    names = _apply_filters(select_files(jd, files), sw)
+    if not names:
+        print("nothing to delete")
+        return 0
+    date = max(now_date(), jd.ver[-1].date + 1)
+    store = Model(hh=0, hm=0)
+    out = bytearray()
+    cbody = _s.pack("<q", 0)
+    out += _n.compress_block(store, cbody,
+                             _jdc_name(date, "c", len(jd.ht)),
+                             b"%d jDC\x01" % len(cbody))
+    ibody = bytearray()
+    for n in names:
+        ibody += _s.pack("<q", 0) + n.encode() + b"\x00"
+    out += _n.compress_block(store, bytes(ibody),
+                             _jdc_name(date, "i", len(jd.ht)),
+                             b"%d jDC\x01" % len(ibody))
+    with open(archive, "ab") as f:
+        f.write(out)
+    print(f"{len(names)} files marked deleted")
+    return 0
+
+
+def cmd_merge(archive, files, sw) -> int:
+    """Consolidate multipart pieces into one archive (reference m)."""
+    if not files:
+        print("m requires the output archive name", file=sys.stderr)
+        return 2
+    data = _read_archive_bytes(archive)
+    outp = _archive_path(files[0])
+    pathlib.Path(outp).write_bytes(data)
+    print(f"merged {len(data):,} bytes into {outp}")
+    return 0
+
+
+def cmd_dir(archive, files, sw) -> int:
+    """Directory-style listing with per-directory totals."""
+    from .jidac.extract import select_files
+    data, jd = _load_index(archive, sw)
+    dirs = {}
+    for n in select_files(jd, files):
+        d = str(pathlib.PurePosixPath(n).parent)
+        dirs.setdefault(d, [0, 0])
+        dirs[d][0] += 1
+        dirs[d][1] += max(jd.dt[n].size, 0)
+    for d in sorted(dirs):
+        cnt, size = dirs[d]
+        print(f"{size:>14,}  {cnt:>6} files  {d}")
+    return 0
+
+
 def cmd_backup(archive, files, sw) -> int:
     """Multipart backup: one new part per run plus a .txt index with
     per-part sizes and hashes (reference backup command semantics,
@@ -441,6 +571,11 @@ COMMANDS = {
     "versum": cmd_versum,
     "backup": cmd_backup,
     "testbackup": cmd_testbackup,
+    "f": cmd_find, "find": cmd_find,
+    "c": cmd_compare, "compare": cmd_compare,
+    "d": cmd_delete, "delete": cmd_delete,
+    "m": cmd_merge, "merge": cmd_merge, "consolidatebackup": cmd_merge,
+    "dir": cmd_dir, "dirsize": cmd_dir,
 }
 
 
