@@ -230,24 +230,54 @@ def cmd_verify(archive, files, sw) -> int:
     return 1 if (bad or missing) else 0
 
 
-def cmd_sum(archive, files, sw) -> int:
+def _hash_one(algo: str, data: bytes) -> str:
+    """Hasher zoo dispatch (reference README.md:96-105 enumerates the set;
+    SURVEY.md section 2.7 #42). All digests native C++ (hashes.cpp)."""
     from . import native
+    if algo == "crc32":
+        return f"{native.crc32(data):08X}"
+    if algo in ("xxhash64", "xxhash", "xx64"):
+        return f"{native.xxh64(data):016X}"
+    if algo in ("xxh3", "xxh3128", "xx3"):
+        return native.xxh3_128(data).hex().upper()
+    if algo == "xxh3_64":
+        return f"{native.xxh3_64(data):016X}"
+    if algo == "wyhash":
+        return f"{native.wyhash(data):016X}"
+    if algo in ("highway64", "highway"):
+        return f"{native.highway64(data):016X}"
+    if algo == "highway128":
+        return native.highway128(data).hex().upper()
+    if algo == "highway256":
+        return native.highway256(data).hex().upper()
+    fn = {"sha1": native.sha1, "sha256": native.sha256,
+          "sha3": native.sha3_256, "md5": native.md5,
+          "blake3": native.blake3, "whirlpool": native.whirlpool}[algo]
+    return fn(data).hex().upper()
+
+
+SUM_ALGOS = ("sha1", "sha256", "sha3", "md5", "blake3", "whirlpool",
+             "crc32", "xxhash64", "xxhash", "xx64", "xxh3", "xxh3_64",
+             "wyhash", "highway64", "highway", "highway128", "highway256")
+
+
+def cmd_sum(archive, files, sw) -> int:
     algo = "sha1"
-    for k in ("sha256", "sha1", "crc32", "md5", "xxhash64", "blake3"):
+    for k in SUM_ALGOS:
         if k in sw:
             algo = k
+            break
     targets = [archive] + list(files) if archive else files
-    for t in targets:
+    for t in sorted(targets):
         p = pathlib.Path(t)
+        if p.is_dir():
+            for sub in sorted(p.rglob("*")):
+                if sub.is_file():
+                    print(f"{_hash_one(algo, sub.read_bytes())}  {sub}")
+            continue
         if not p.is_file():
             continue
-        data = p.read_bytes()
-        if algo == "crc32":
-            print(f"{native.crc32(data):08X}  {t}")
-        elif algo == "sha1":
-            print(f"{native.sha1(data).hex().upper()}  {t}")
-        else:
-            print(f"{hashlib.new(algo, data).hexdigest().upper()}  {t}")
+        print(f"{_hash_one(algo, p.read_bytes())}  {t}")
     return 0
 
 
@@ -576,7 +606,11 @@ COMMANDS = {
     "d": cmd_delete, "delete": cmd_delete,
     "m": cmd_merge, "merge": cmd_merge, "consolidatebackup": cmd_merge,
     "dir": cmd_dir, "dirsize": cmd_dir,
+    "hash": cmd_sum,
 }
+
+# commands whose first positional is a plain file/dir path, not an archive
+PLAIN_PATH_COMMANDS = {"sum", "hash"}
 
 
 def main(argv: Optional[Sequence[str]] = None) -> int:
@@ -590,11 +624,15 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         print(f"unknown command {cmd!r}; commands: {' '.join(sorted(set(COMMANDS)))}",
               file=sys.stderr)
         return 2
-    if archive is None and cmd != "sum":
+    # file/dir-oriented commands take plain paths, not archive names
+    plain = cmd in PLAIN_PATH_COMMANDS
+    if archive is None and not plain:
         print("missing archive name", file=sys.stderr)
         return 2
     try:
-        return fn(_archive_path(archive) if archive else None, files, sw)
+        arg0 = archive if plain else (_archive_path(archive)
+                                      if archive else None)
+        return fn(arg0, files, sw)
     except FileNotFoundError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2

@@ -95,6 +95,22 @@ def _load():
     lib.tz_crc32.argtypes = [C.c_uint32, C.c_char_p, C.c_size_t]
     lib.tz_xxh64.restype = C.c_uint64
     lib.tz_xxh64.argtypes = [C.c_char_p, C.c_size_t, C.c_uint64]
+    lib.tz_md5.argtypes = [C.c_char_p, C.c_size_t, C.c_char_p]
+    lib.tz_sha256.argtypes = [C.c_char_p, C.c_size_t, C.c_char_p]
+    lib.tz_sha3_256.argtypes = [C.c_char_p, C.c_size_t, C.c_char_p]
+    lib.tz_blake3.argtypes = [C.c_char_p, C.c_size_t, C.c_char_p]
+    lib.tz_whirlpool.argtypes = [C.c_char_p, C.c_size_t, C.c_char_p]
+    lib.tz_xxh3_64.restype = C.c_uint64
+    lib.tz_xxh3_64.argtypes = [C.c_char_p, C.c_size_t]
+    lib.tz_xxh3_128.argtypes = [C.c_char_p, C.c_size_t, C.c_char_p]
+    lib.tz_wyhash.restype = C.c_uint64
+    lib.tz_wyhash.argtypes = [C.c_char_p, C.c_size_t, C.c_uint64]
+    lib.tz_highway64.restype = C.c_uint64
+    lib.tz_highway64.argtypes = [C.c_char_p, C.c_size_t, C.c_uint64 * 4]
+    lib.tz_highway128.argtypes = [C.c_char_p, C.c_size_t, C.c_uint64 * 4,
+                                  C.c_char_p]
+    lib.tz_highway256.argtypes = [C.c_char_p, C.c_size_t, C.c_uint64 * 4,
+                                  C.c_char_p]
     lib.tz_install_tables.argtypes = [C.c_char_p] * 6
     lib.tz_install_tables(
         T.SNS.tobytes(),
@@ -294,3 +310,67 @@ def crc32(data: bytes, crc: int = 0) -> int:
 
 def xxh64(data: bytes, seed: int = 0) -> int:
     return _load().tz_xxh64(data, len(data), seed)
+
+
+# ---- hasher zoo (reference README.md:96-105; SURVEY.md section 2.7 #42) ----
+
+def _fixed_out(fn_name: str, data: bytes, size: int) -> bytes:
+    out = C.create_string_buffer(size)
+    getattr(_load(), fn_name)(data, len(data), out)
+    return out.raw
+
+
+def md5(data: bytes) -> bytes:
+    return _fixed_out("tz_md5", data, 16)
+
+
+def sha256(data: bytes) -> bytes:
+    return _fixed_out("tz_sha256", data, 32)
+
+
+def sha3_256(data: bytes) -> bytes:
+    return _fixed_out("tz_sha3_256", data, 32)
+
+
+def blake3(data: bytes) -> bytes:
+    return _fixed_out("tz_blake3", data, 32)
+
+
+def whirlpool(data: bytes) -> bytes:
+    return _fixed_out("tz_whirlpool", data, 64)
+
+
+def xxh3_64(data: bytes) -> int:
+    return _load().tz_xxh3_64(data, len(data))
+
+
+def xxh3_128(data: bytes) -> bytes:
+    """Canonical (big-endian) 16-byte XXH3-128 digest."""
+    return _fixed_out("tz_xxh3_128", data, 16)
+
+
+def wyhash(data: bytes, seed: int = 0) -> int:
+    return _load().tz_wyhash(data, len(data), seed)
+
+
+def _hh_key(key) -> "C.Array":
+    arr = (C.c_uint64 * 4)()
+    for i, v in enumerate(key or (1, 2, 3, 4)):
+        arr[i] = v
+    return arr
+
+
+def highway64(data: bytes, key=None) -> int:
+    return _load().tz_highway64(data, len(data), _hh_key(key))
+
+
+def highway128(data: bytes, key=None) -> bytes:
+    out = C.create_string_buffer(16)
+    _load().tz_highway128(data, len(data), _hh_key(key), out)
+    return out.raw
+
+
+def highway256(data: bytes, key=None) -> bytes:
+    out = C.create_string_buffer(32)
+    _load().tz_highway256(data, len(data), _hh_key(key), out)
+    return out.raw
