@@ -202,7 +202,8 @@ def cmd_test(archive, files, sw) -> int:
     data, jd = _load_index(archive, sw)
     t0 = time.time()
     nblocks, nfrags = verify_archive(
-        data, jd, threads=int(sw.get("threads", ["0"])[0]))
+        data, jd, threads=int(sw.get("threads", ["0"])[0]),
+        use_device="tpu" in sw or "ssd" in sw)
     dt = time.time() - t0
     usize = sum(b.usize for b in jd.block)
     print(f"tested {nblocks} blocks, {nfrags} fragments, "

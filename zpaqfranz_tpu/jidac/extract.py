@@ -142,10 +142,18 @@ def extract(data: bytes, jd: Jidac, to_dir: str,
     return len(names), total
 
 
-def verify_archive(data: bytes, jd: Jidac, threads: int = 0) -> Tuple[int, int]:
+def verify_archive(data: bytes, jd: Jidac, threads: int = 0,
+                   use_device: bool = False) -> Tuple[int, int]:
     """Integrity test: decode every block, verify every fragment SHA-1
-    (the reference 't' command's phase 1). Returns (blocks, fragments)."""
+    (the reference 't' command's phase 1). Returns (blocks, fragments).
+
+    use_device batches all fragment hashes through the lane-parallel
+    SHA-1 kernel (ops/hash_batched.py) instead of hashing on host
+    threads — the TPU mapping of the reference's multithreaded CRC/SHA
+    rebuild (reference CHANGELOG.md:73-76)."""
     threads = threads or min(32, (os.cpu_count() or 4))
+    if use_device:
+        return _verify_archive_device(data, jd, threads)
     nfrag = 0
 
     def work(blk: Block) -> int:
@@ -156,3 +164,44 @@ def verify_archive(data: bytes, jd: Jidac, threads: int = 0) -> Tuple[int, int]:
         for n in ex.map(work, jd.block):
             nfrag += n
     return len(jd.block), nfrag
+
+
+def _verify_archive_device(data: bytes, jd: Jidac,
+                           threads: int) -> Tuple[int, int]:
+    """Decode blocks on host threads, verify fragment SHA-1s on device.
+
+    Fragments are sorted by length and hashed in fixed-size lane batches
+    so padding waste stays bounded and the kernel recompiles only per
+    distinct (lanes, padded-length) bucket."""
+    from ..ops import hash_batched as hb
+
+    pieces: List[Tuple[int, bytes]] = []   # (fragment id, bytes)
+
+    def work(blk: Block) -> List[Tuple[int, bytes]]:
+        out = _decode_block(data, blk)
+        res, q = [], 0
+        for j in range(blk.start, blk.start + blk.frags):
+            usize = jd.ht[j].usize
+            piece = out[q:q + usize]
+            if len(piece) != usize:
+                raise ExtractError(f"fragment {j}: incomplete")
+            res.append((j, piece))
+            q += usize
+        return res
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=threads) as ex:
+        for res in ex.map(work, jd.block):
+            pieces.extend(res)
+
+    pieces = [(j, p) for j, p in pieces if jd.ht[j].sha1 != b"\x00" * 20]
+    pieces.sort(key=lambda t: len(t[1]))
+    BATCH = 256
+    for i in range(0, len(pieces), BATCH):
+        batch = pieces[i:i + BATCH]
+        lanes, lens = hb.pad_lanes([p for _, p in batch])
+        # pad lane count so bucket shapes repeat (fewer recompiles)
+        digests = hb.digest_bytes(hb.sha1_lanes(lanes, lens))
+        for (j, _), dig in zip(batch, digests):
+            if dig != jd.ht[j].sha1:
+                raise ExtractError(f"fragment {j}: checksum failed")
+    return len(jd.block), len(pieces)
