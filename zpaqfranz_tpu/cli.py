@@ -4,18 +4,21 @@ Positional grammar matching the reference (man/zpaqfranz.pod:75-131):
 
     python -m zpaqfranz_tpu.cli <command> <archive>[.zpaq] [files...] [-switches]
 
-Commands (growing toward the reference's ~40):
-    a  add/update files to the archive (one transaction per run)
-    x  extract (all or selected; -to DIR)
-    l  list contents
-    i  version info
-    t  integrity test (decode all blocks, verify every fragment SHA-1)
-    v  verify archive against the filesystem (dates/sizes/hashes)
-    sum  hash files (sha1/sha256/crc32)
-    versions  enumerate versions with update/delete counts
+Archive commands:
+    a add x e extract l ls list i info t test v verify p w paranoid
+    trim crop d delete m merge consolidatebackup backup testbackup
+    f find fzf c compare dir versions last last2 n versum dump
+    password sync autotest b bench
+File/host commands:
+    sum hash (sha1 sha256 sha3 md5 blake3 whirlpool crc32 xxhash64
+    xxh3 xxh3_64 wyhash highway64/128/256), 1on1 comparehex count
+    s dirsize collision isopen utf cp r rsync z rd k pause
+Documented gaps (reference platform services, SURVEY.md §2.7):
+    sfx (Windows PE stub), zfs* (needs the zfs utility)
 
 Switches: -mN method, -to DIR, -until N|date, -fragment N, -threads N,
--force, -summary, -all, -key (not yet).
+-key PW, -only PAT, -not PAT, -force, -kill, -summary, -all, -test,
+-tpu (device lanes), hash-algorithm selectors for sum/hash.
 Exit codes follow the reference contract: 0 ok, 1 warnings, 2 errors.
 """
 
@@ -585,6 +588,338 @@ def cmd_versum(archive, files, sw) -> int:
     return 0
 
 
+# ---- host-utility commands (reference man/zpaqfranz.pod:75-122) -----------
+
+def cmd_dump(archive, files, sw) -> int:
+    """Dump the archive's block map: jDC names, offsets, sizes, fragment
+    ranges (diagnostic; the reference's dump command)."""
+    data, jd = _load_index(archive, sw)
+    print(f"{len(data):,} bytes, {len(jd.ver) - 1} versions, "
+          f"{len(jd.ht) - 1} fragments, {len(jd.block)} d-blocks, "
+          f"{sum(1 for d in jd.dt.values() if d.date)} files")
+    for vi, v in enumerate(jd.ver[1:], 1):
+        print(f"version {vi}: date {v.date} offset {v.offset:,} "
+              f"csize {v.csize:,} +{v.updates} -{v.deletes} "
+              f"firstfrag {v.firstFragment}")
+    for b in jd.block:
+        print(f"  d-block @{b.offset:<12,} bsize {b.bsize:<10,} "
+              f"frags {b.start}..{b.start + b.frags - 1} "
+              f"usize {b.usize:,}")
+    return 0
+
+
+def cmd_password(archive, files, sw) -> int:
+    """Re-encrypt the archive with a new password (reference password).
+
+    -key OLD gives the current password (omit if plaintext); the new
+    password is the first positional after the archive ('' = decrypt)."""
+    from .codec import crypto
+    if not files:
+        print("password requires the new password as an argument "
+              "(use \"\" to remove encryption)", file=sys.stderr)
+        return 2
+    new_pw = files[0]
+    raw = _read_archive_bytes(archive)
+    old_pw = _key(sw)
+    plain = crypto.decrypt_archive(raw, old_pw) if old_pw else raw
+    if new_pw:
+        salt = crypto.new_salt()
+        out = salt + crypto.encrypt_append(plain, new_pw, salt,
+                                           crypto.SALT_LEN)
+    else:
+        out = plain
+    pathlib.Path(archive).write_bytes(out)
+    print(f"{archive}: {'re-encrypted' if new_pw else 'decrypted'} "
+          f"({len(out):,} bytes)")
+    return 0
+
+
+def cmd_1on1(archive, files, sw) -> int:
+    """Byte-compare two files, reporting the first difference offset."""
+    if not files:
+        print("1on1 requires two files", file=sys.stderr)
+        return 2
+    a, b = pathlib.Path(archive), pathlib.Path(files[0])
+    da, db = a.read_bytes(), b.read_bytes()
+    if da == db:
+        print(f"identical ({len(da):,} bytes)")
+        return 0
+    n = min(len(da), len(db))
+    diff = next((i for i in range(n) if da[i] != db[i]), n)
+    print(f"differ at offset {diff:,} "
+          f"(sizes {len(da):,} vs {len(db):,})")
+    return 1
+
+
+def cmd_comparehex(archive, files, sw) -> int:
+    """Side-by-side hex dump of the first differing region of two files."""
+    if not files:
+        print("comparehex requires two files", file=sys.stderr)
+        return 2
+    da = pathlib.Path(archive).read_bytes()
+    db = pathlib.Path(files[0]).read_bytes()
+    n = min(len(da), len(db))
+    diff = next((i for i in range(n) if da[i] != db[i]), None)
+    if diff is None and len(da) == len(db):
+        print(f"identical ({len(da):,} bytes)")
+        return 0
+    start = (diff if diff is not None else n) & ~15
+    for off in range(start, min(start + 64, max(len(da), len(db))), 16):
+        ha = da[off:off + 16].hex(" ")
+        hb = db[off:off + 16].hex(" ")
+        mark = "  " if ha == hb else "<>"
+        print(f"{off:08X} {mark} {ha:<47} | {hb}")
+    return 1
+
+
+def cmd_count(archive, files, sw) -> int:
+    """Count files/dirs/bytes under the given paths (reference count)."""
+    targets = [archive] + list(files) if archive else ["."]
+    nf = nd = nb = 0
+    for t in targets:
+        p = pathlib.Path(t)
+        if p.is_file():
+            nf += 1
+            nb += p.stat().st_size
+            continue
+        for sub in p.rglob("*"):
+            if sub.is_dir():
+                nd += 1
+            elif sub.is_file():
+                nf += 1
+                nb += sub.stat().st_size
+    print(f"{nf:,} files, {nd:,} dirs, {nb:,} bytes")
+    return 0
+
+
+def cmd_dirsize(archive, files, sw) -> int:
+    """Per-directory recursive sizes (reference s / dirsize)."""
+    targets = [archive] + list(files) if archive else ["."]
+    for t in sorted(targets):
+        p = pathlib.Path(t)
+        if not p.is_dir():
+            if p.is_file():
+                print(f"{p.stat().st_size:>14,}  {t}")
+            continue
+        total = cnt = 0
+        for sub in p.rglob("*"):
+            if sub.is_file():
+                total += sub.stat().st_size
+                cnt += 1
+        print(f"{total:>14,}  {cnt:>7} files  {t}")
+    return 0
+
+
+def cmd_collision(archive, files, sw) -> int:
+    """Find same-content file groups under the given paths by full hash
+    (the reference collision hunts weak-hash collisions; contents are
+    compared by SHA-256 so reported groups are true duplicates)."""
+    from . import native
+    groups: Dict[bytes, List[str]] = {}
+    targets = [archive] + list(files) if archive else ["."]
+    for t in targets:
+        p = pathlib.Path(t)
+        it = [p] if p.is_file() else sorted(p.rglob("*"))
+        for sub in it:
+            if sub.is_file():
+                groups.setdefault(native.sha256(sub.read_bytes()),
+                                  []).append(str(sub))
+    dups = {k: v for k, v in groups.items() if len(v) > 1}
+    for k, v in sorted(dups.items()):
+        print(f"{k.hex()[:16]}:")
+        for name in v:
+            print(f"  {name}")
+    print(f"{len(dups)} duplicate groups of {len(groups)} distinct contents")
+    return 0
+
+
+def cmd_isopen(archive, files, sw) -> int:
+    """Report whether the file can be opened exclusively (reference
+    isopen; on POSIX approximated by open-for-append probing)."""
+    p = pathlib.Path(archive)
+    if not p.exists():
+        print(f"{archive}: does not exist")
+        return 2
+    try:
+        with open(p, "ab"):
+            pass
+        print(f"{archive}: not locked")
+        return 0
+    except OSError as e:
+        print(f"{archive}: locked ({e})")
+        return 1
+
+
+def cmd_utf(archive, files, sw) -> int:
+    """List files whose names contain non-ASCII or control characters
+    (reference utf); -fix renames them to sanitized ASCII."""
+    targets = [archive] + list(files) if archive else ["."]
+    fix = "fix" in sw or "force" in sw
+    shown = 0
+    for t in targets:
+        p = pathlib.Path(t)
+        it = [p] if p.is_file() else sorted(p.rglob("*"))
+        for sub in it:
+            name = sub.name
+            if all(32 <= ord(ch) < 127 for ch in name):
+                continue
+            shown += 1
+            safe = "".join(ch if 32 <= ord(ch) < 127 else "_"
+                           for ch in name)
+            print(f"{sub}  ->  {safe}" if fix else f"{sub}")
+            if fix:
+                sub.rename(sub.with_name(safe))
+    print(f"{shown} suspect names{' fixed' if fix else ''}")
+    return 0
+
+
+def cmd_cp(archive, files, sw) -> int:
+    """Resumable file copy (reference cp): continues a partial copy by
+    appending from the destination's current size after verifying the
+    overlap."""
+    if not files:
+        print("cp requires a destination", file=sys.stderr)
+        return 2
+    src, dst = pathlib.Path(archive), pathlib.Path(files[0])
+    if dst.is_dir():
+        dst = dst / src.name
+    data = src.read_bytes()
+    done = dst.stat().st_size if dst.exists() else 0
+    if done:
+        if dst.read_bytes() != data[:done]:
+            print("destination prefix differs; use a fresh name",
+                  file=sys.stderr)
+            return 2
+        if done >= len(data):
+            print(f"already complete ({done:,} bytes)")
+            return 0
+    with open(dst, "ab") as f:
+        f.write(data[done:])
+    print(f"copied {len(data) - done:,} bytes "
+          f"({'resumed at ' + format(done, ',') if done else 'full'})")
+    return 0
+
+
+def cmd_robocopy(archive, files, sw) -> int:
+    """Mirror source dir into destination dirs (reference r): copy new/
+    changed files; with -kill also delete extraneous destination files."""
+    import shutil
+    if not files:
+        print("r requires source and destination dirs", file=sys.stderr)
+        return 2
+    src = pathlib.Path(archive)
+    copied = deleted = 0
+    for dest in files:
+        dst = pathlib.Path(dest)
+        dst.mkdir(parents=True, exist_ok=True)
+        srcfiles = {p.relative_to(src): p for p in src.rglob("*")
+                    if p.is_file()}
+        for rel, sp in sorted(srcfiles.items()):
+            dp = dst / rel
+            if (not dp.exists() or dp.stat().st_size != sp.stat().st_size
+                    or dp.stat().st_mtime < sp.stat().st_mtime):
+                dp.parent.mkdir(parents=True, exist_ok=True)
+                shutil.copy2(sp, dp)
+                copied += 1
+        if "kill" in sw:
+            for dp in sorted(dst.rglob("*"), reverse=True):
+                rel = dp.relative_to(dst)
+                if dp.is_file() and rel not in srcfiles:
+                    dp.unlink()
+                    deleted += 1
+                elif dp.is_dir() and not any(dp.iterdir()):
+                    dp.rmdir()
+    print(f"{copied} copied, {deleted} deleted")
+    return 0
+
+
+def cmd_zero(archive, files, sw) -> int:
+    """Delete empty directories under the given path (reference z)."""
+    removed = 0
+    root = pathlib.Path(archive)
+    if "force" not in sw and "kill" not in sw:
+        for d in sorted(root.rglob("*")):
+            if d.is_dir() and not any(d.iterdir()):
+                print(f"would remove {d}")
+                removed += 1
+        print(f"{removed} empty dirs (add -kill to remove)")
+        return 0
+    for d in sorted(root.rglob("*"), reverse=True):
+        if d.is_dir() and not any(d.iterdir()):
+            d.rmdir()
+            removed += 1
+    print(f"{removed} empty dirs removed")
+    return 0
+
+
+def cmd_rd(archive, files, sw) -> int:
+    """Remove a directory tree (reference rd). Requires -kill."""
+    import shutil
+    root = pathlib.Path(archive)
+    if "kill" not in sw:
+        n = sum(1 for _ in root.rglob("*")) if root.exists() else 0
+        print(f"would remove {root} ({n} entries); add -kill to confirm")
+        return 0
+    if root.exists():
+        shutil.rmtree(root)
+        print(f"removed {root}")
+    return 0
+
+
+def cmd_pause(archive, files, sw) -> int:
+    """Wait for Enter (reference pause; useful at end of scripts)."""
+    try:
+        input("Press Enter to continue...")
+    except EOFError:
+        pass
+    return 0
+
+
+def cmd_sync(archive, files, sw) -> int:
+    """Report what an 'a' run would change: new/changed/deleted files
+    vs the archive index (reference sync, CHANGELOG.md:65-71)."""
+    from .jidac.add import scan_files
+    data, jd = _load_index(archive, sw)
+    ext = scan_files(files or ["."])
+    new = changed = deleted = 0
+    for name, (fdate, fsize, fattr) in sorted(ext.items()):
+        d = jd.dt.get(name)
+        if d is None or not d.date:
+            new += 1
+            print(f"+ {name}")
+        elif d.date != fdate or d.size != fsize:
+            changed += 1
+            print(f"# {name}")
+    for name, d in sorted(jd.dt.items()):
+        if d.date and name not in ext:
+            deleted += 1
+            print(f"- {name}")
+    print(f"{new} new, {changed} changed, {deleted} deleted")
+    return 0 if not (new or changed or deleted) else 1
+
+
+def _zfs_stub(cmdname: str):
+    def fn(archive, files, sw) -> int:
+        import shutil as _sh
+        if _sh.which("zfs") is None:
+            print(f"{cmdname}: requires the zfs utility, which is not "
+                  "available on this host (reference zfs family, "
+                  "man/zpaqfranz.pod:115-122)", file=sys.stderr)
+            return 2
+        print(f"{cmdname}: zfs orchestration not yet wired", file=sys.stderr)
+        return 2
+    return fn
+
+
+def cmd_sfx(archive, files, sw) -> int:
+    """Not ported: SFX stubs are Windows PE executables (reference
+    ZSFX/zsfx.cpp); archives remain fully compatible without them."""
+    print("sfx: not supported in zpaqfranz_tpu (Windows PE stub mechanism; "
+          "see SURVEY.md 'What we explicitly do NOT port')",
+          file=sys.stderr)
+    return 2
+
+
 COMMANDS = {
     "a": cmd_add, "add": cmd_add,
     "x": cmd_extract, "e": cmd_extract, "extract": cmd_extract,
@@ -606,12 +941,39 @@ COMMANDS = {
     "c": cmd_compare, "compare": cmd_compare,
     "d": cmd_delete, "delete": cmd_delete,
     "m": cmd_merge, "merge": cmd_merge, "consolidatebackup": cmd_merge,
-    "dir": cmd_dir, "dirsize": cmd_dir,
+    "dir": cmd_dir,
     "hash": cmd_sum,
+    "dump": cmd_dump,
+    "password": cmd_password,
+    "1on1": cmd_1on1,
+    "comparehex": cmd_comparehex,
+    "count": cmd_count,
+    "s": cmd_dirsize, "dirsize": cmd_dirsize,
+    "collision": cmd_collision,
+    "isopen": cmd_isopen,
+    "utf": cmd_utf,
+    "cp": cmd_cp,
+    "r": cmd_robocopy, "rsync": cmd_robocopy,
+    "z": cmd_zero,
+    "rd": cmd_rd, "k": cmd_rd,
+    "pause": cmd_pause,
+    "sync": cmd_sync,
+    "fzf": cmd_find,
+    "sfx": cmd_sfx,
+    "n": cmd_versions, "last2": cmd_versions,
+    "zfsadd": _zfs_stub("zfsadd"), "zfsbackup": _zfs_stub("zfsbackup"),
+    "zfslist": _zfs_stub("zfslist"), "zfspurge": _zfs_stub("zfspurge"),
+    "zfsreceive": _zfs_stub("zfsreceive"),
+    "zfsrestore": _zfs_stub("zfsrestore"),
+    "zfsproxbackup": _zfs_stub("zfsproxbackup"),
+    "zfsproxrestore": _zfs_stub("zfsproxrestore"),
 }
 
 # commands whose first positional is a plain file/dir path, not an archive
-PLAIN_PATH_COMMANDS = {"sum", "hash"}
+PLAIN_PATH_COMMANDS = {
+    "sum", "hash", "1on1", "comparehex", "count", "s", "dirsize",
+    "collision", "utf", "cp", "r", "rsync", "z", "rd", "k", "pause",
+}
 
 
 def main(argv: Optional[Sequence[str]] = None) -> int:
