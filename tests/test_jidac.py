@@ -1,6 +1,7 @@
 """Jidac layer end-to-end: golden archive, add/extract round-trip, dedup."""
 
 import hashlib
+import os
 import pathlib
 import struct
 
@@ -130,3 +131,45 @@ def test_corrupt_block_isolated(tree, tmp_path, monkeypatch):
     assert len(jd2.dt) == len(jd.dt)
     with pytest.raises(Exception):
         verify_archive(bytes(data), jd2)
+
+
+def test_detached_index_and_chunked_parts(tmp_path, monkeypatch):
+    """-index keeps a d-block-free index usable for list/sync/dedup;
+    -chunk splits multipart output into fixed-size pieces."""
+    import glob
+    from zpaqfranz_tpu.cli import main
+    from zpaqfranz_tpu.jidac.index import read_archive, is_index
+    monkeypatch.chdir(tmp_path)
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.bin").write_bytes(os.urandom(30000))
+    (src / "b.txt").write_bytes(b"text " * 2000)
+
+    assert main(["a", "arc", "src", "-index", "arc_idx.zpaq"]) == 0
+    idx_data = (tmp_path / "arc_idx.zpaq").read_bytes()
+    assert is_index(idx_data)
+    jd_full = read_archive((tmp_path / "arc.zpaq").read_bytes())
+    jd_idx = read_archive(idx_data)
+    assert jd_idx.is_index
+    assert sorted(jd_idx.dt) == sorted(jd_full.dt)
+    assert len(jd_idx.ht) == len(jd_full.ht)
+    # index is listable through the CLI
+    assert main(["l", "arc_idx"]) == 0
+
+    # second transaction dedups against the index alone (remote-archive
+    # mode: archive bytes not reread)
+    (src / "c.txt").write_bytes(b"text " * 2000)   # duplicate content
+    from zpaqfranz_tpu.jidac.add import add
+    n_before = len(jd_idx.ht)
+    add(str(tmp_path / "arc2.zpaq"), ["src"], index_path="arc_idx.zpaq")
+    jd2 = read_archive((tmp_path / "arc_idx.zpaq").read_bytes())
+    assert len(jd2.ht) == n_before  # all fragments were already indexed
+
+    # chunked multipart: parts capped at 4 KiB
+    assert main(["a", "parts_????.zpaq", "src", "-chunk", "4k"]) == 0
+    parts = sorted(glob.glob(str(tmp_path / "parts_*.zpaq")))
+    assert len(parts) > 1
+    assert all(os.path.getsize(p) <= 4096 for p in parts)
+    assert main(["x", "parts_????.zpaq", "-to", "outp"]) == 0
+    assert (tmp_path / "outp" / "src" / "a.bin").read_bytes() == \
+        (src / "a.bin").read_bytes()

@@ -116,10 +116,18 @@ def cmd_add(archive, files, sw) -> int:
     method = _method(sw)
     frag = int(sw.get("fragment", ["6"])[0]) + 10
     t0 = time.time()
+    chunk_arg = sw.get("chunk", [None])[0]
+    chunk = 0
+    if chunk_arg:
+        mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(
+            chunk_arg[-1].lower(), 1)
+        chunk = int(chunk_arg.rstrip("kmgKMG") or 0) * mult
     nfiles, nfrags, nbytes = add(archive, files, method=method,
                                  fragment_bits=frag,
                                  threads=int(sw.get("threads", ["0"])[0]),
-                                 key=_key(sw), use_device="tpu" in sw)
+                                 key=_key(sw), use_device="tpu" in sw,
+                                 index_path=sw.get("index", [None])[0],
+                                 chunk=chunk)
     dt = time.time() - t0
     print(f"{nfiles} files added, {nfrags} fragments, "
           f"{_fmt_size(nbytes)} bytes in {dt:.2f}s")

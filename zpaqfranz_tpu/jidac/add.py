@@ -131,8 +131,16 @@ def add(archive: str, files: Sequence[str], method: str = "1",
         fragment_bits: int = 16, threads: int = 0,
         date: Optional[int] = None, summary: bool = False,
         key: Optional[str] = None,
-        use_device: bool = False) -> Tuple[int, int, int]:
-    """Append one transaction. Returns (files added, frags added, bytes)."""
+        use_device: bool = False,
+        index_path: Optional[str] = None,
+        chunk: int = 0) -> Tuple[int, int, int]:
+    """Append one transaction. Returns (files added, frags added, bytes).
+
+    index_path: also append the transaction's c/h/i blocks (no d data) to
+    a detached index file (reference -index, CHANGELOG.md:687-717) so
+    list/sync/dedup work without reading the archive back.
+    chunk: with a multipart spec, cap each written part at this many
+    bytes (reference -chunk fixed-size parts, CHANGELOG.md:922-927)."""
     from ..codec import crypto
     parts, part_namer = expand_parts(archive)
     multipart = part_namer is not None
@@ -148,7 +156,13 @@ def add(archive: str, files: Sequence[str], method: str = "1",
         else:
             salt = crypto.new_salt()
             plain = b""
-    jd = read_archive(plain) if plain else Jidac()
+    if plain:
+        jd = read_archive(plain)
+    elif index_path and pathlib.Path(index_path).exists():
+        # remote-archive mode: dedup against the detached index alone
+        jd = read_archive(pathlib.Path(index_path).read_bytes())
+    else:
+        jd = Jidac()
 
     model, pre = make_model(method)   # raises for not-yet-supported methods
     block_cap = min(1 << pre.block_bits, 1 << 26)
@@ -223,12 +237,15 @@ def add(archive: str, files: Sequence[str], method: str = "1",
 
     # ---- assemble the transaction ----
     out = bytearray()
+    ix = bytearray()          # detached-index copy: c/h/i, no d blocks
     csize = sum(len(b) for b in d_blocks)
     cbody = struct.pack("<q", csize)
     cname = _jdc_name(date, "c", next_frag - len(new_ht))
     store = Model(hh=0, hm=0)
-    out += native.compress_block(
+    cblk = native.compress_block(
         store, cbody, cname, b"%d jDC\x01" % len(cbody))
+    out += cblk
+    ix += cblk
     for b in d_blocks:
         out += b
     for job, dblk in zip(jobs, d_blocks):
@@ -236,8 +253,10 @@ def add(archive: str, files: Sequence[str], method: str = "1",
         for sha, usize in job.frags:
             body += sha + struct.pack("<I", usize)
         hname = _jdc_name(date, "h", job.first_frag)
-        out += native.compress_block(
+        hblk = native.compress_block(
             store, bytes(body), hname, b"%d jDC\x01" % len(body))
+        out += hblk
+        ix += hblk
     ibody = bytearray()
     for name in deleted:
         ibody += struct.pack("<q", 0) + name.encode() + b"\x00"
@@ -253,8 +272,10 @@ def add(archive: str, files: Sequence[str], method: str = "1",
         ibody += struct.pack("<I", len(ptrs))
         ibody += struct.pack(f"<{len(ptrs)}I", *ptrs)
     iname = _jdc_name(date, "i", next_frag - len(new_ht))
-    out += native.compress_block(
+    iblk = native.compress_block(
         store, bytes(ibody), iname, b"%d jDC\x01" % len(ibody))
+    out += iblk
+    ix += iblk
 
     if key is not None:
         if not existing:
@@ -267,13 +288,24 @@ def add(archive: str, files: Sequence[str], method: str = "1",
         payload = bytes(out)
     if multipart:
         # one new part per transaction (reference: parts are rsync-friendly
-        # append units; `m`/consolidate merges them)
-        new_name = part_namer(len(parts) + 1)
-        with open(new_name, "wb") as f:
-            f.write(payload)
+        # append units; `m`/consolidate merges them); -chunk caps each
+        # part's size, continuing the numbering mid-transaction
+        pieces = ([payload[i:i + chunk] for i in range(0, len(payload),
+                                                       chunk)]
+                  if chunk else [payload])
+        for k, piece in enumerate(pieces):
+            with open(part_namer(len(parts) + 1 + k), "wb") as f:
+                f.write(piece)
     else:
         with open(path, "ab") as f:
             f.write(payload)
+    if index_path:
+        from .index import INDEX_MAGIC, INDEX_HEADER_LEN
+        ipath = pathlib.Path(index_path)
+        if not ipath.exists():
+            ipath.write_bytes(INDEX_MAGIC)
+        with open(ipath, "ab") as f:
+            f.write(bytes(ix))
     return len(changed), len(new_ht), len(out)
 
 

@@ -108,6 +108,7 @@ class Jidac:
     ver: List[VER] = field(default_factory=lambda: [VER()])
     csize: int = 0            # end of indexed data
     errors: int = 0
+    is_index: bool = False    # detached index (no d blocks present)
 
     def file_size(self, name: str) -> int:
         d = self.dt.get(name)
@@ -138,14 +139,37 @@ def _parse_jdc_name(name: bytes):
     return date, t, num
 
 
+# Detached-index head. The reference reuses the "7kSt" start-tag magic for
+# multipart/index heads (zsfx.cpp:1323-1332) — but those are the first four
+# bytes of the 13-byte block locator tag on EVERY tagged archive, so an
+# index needs a longer discriminator: 12 bytes that cannot collide with a
+# locator tag (whose bytes 4..7 are fixed \xa01\x83\xd3). Body = the
+# archive's transactions with every d block omitted (c/h/i only), so
+# list/sync/dedup work without the data bytes.
+INDEX_MAGIC = b"7kStIdxTPU\x01\x00"
+INDEX_HEADER_LEN = 12
+
+
+def is_index(data: bytes) -> bool:
+    return data[:INDEX_HEADER_LEN] == INDEX_MAGIC
+
+
 def read_archive(data: bytes, until: Optional[int] = None,
                  collect_errors: bool = False) -> Jidac:
     """Single pass over the archive building the Jidac index.
 
     ``until``: version count (small int) or date (YYYYMMDDHHMMSS) to roll
     back to, as the reference's -until (zsfx.cpp:1438-1443).
+
+    Accepts both full archives and detached indexes (INDEX_MAGIC head);
+    for an index the c-block csize jump is accounted but not seeked, since
+    the d blocks are not present in the file.
     """
     jd = Jidac()
+    index_mode = is_index(data)
+    if index_mode:
+        data = data[INDEX_HEADER_LEN:]
+        jd.is_index = True
     stream = native.NativeStream(data)
     block_offset = 0
     data_offset = 0
@@ -185,7 +209,8 @@ def read_archive(data: bytes, until: Optional[int] = None,
                                 csize=jmp, firstFragment=len(jd.ht))
                         jd.ver.append(v)
                         if jmp:
-                            stream.seek(data_offset + jmp)
+                            if not index_mode:
+                                stream.seek(data_offset + jmp)
                         break  # c blocks have one segment
                     elif t == "h":
                         v = jd.ver[-1]
