@@ -1,134 +1,115 @@
-"""Benchmark: batched context-mixing encode throughput per chip.
+"""Benchmark: end-to-end backup (add) throughput on the real product path.
 
-Measures the framework's hot path — L independent ZPAQ streams encoded in
-lockstep on one chip (8x fused predict/range-code/update per byte plus the
-batched HCOMP) — and prints ONE JSON line:
+Measures what the reference headlines — "real world speed (backup): about
+80-200 MB/s, depending on the case and HW" (reference README.md:328) — on
+this framework's actual add pipeline: filesystem scan -> content-defined
+chunking -> SHA-1 dedup -> LZ77 block compression -> jidac c/d/h/i
+transaction append. Prints ONE JSON line:
 
   {"metric": ..., "value": N, "unit": "MB/s", "vs_baseline": N}
 
-Baseline anchor: the reference is single-host, one OS thread per block
-(SURVEY.md section 2.8); its context-mixing levels encode at roughly
-0.5-2 MB/s/thread (libzpaq CM is symmetric encode/decode; the reference
-publishes no formal numbers — BASELINE.md). We anchor vs_baseline at an
-8-thread desktop running the mid CM profile: 8 x 1.5 = 12 MB/s.
+vs_baseline anchors at 200 MB/s, the TOP of the reference's published
+range (BASELINE.md), so 1.0 means matching the reference's best claim.
+
+The corpus is synthetic but adversarially mixed (compressible text,
+incompressible binary, and duplicated regions so dedup does real work),
+regenerated deterministically; a second incremental pass measures the
+versioned-backup case (the reference's main workload).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import pathlib
+import shutil
+import tempfile
 import time
 
 import numpy as np
 
-_BASELINE_MBPS = 12.0
-
-_HCOMP = """
-hcomp
-  c++ *c=a b=c a=0
-  d= 1 hash *d=a
-  b-- d++ hash *d=a
-  b-- d++ hash *d=a
-  b-- d++ hash *d=a
-  b-- d++ hash *d=a
-  b-- d++ hash b-- hash *d=a
-  d++ a=*c a<<= 8 *d=a
-  halt
-post 0 end
-"""
-
-# mid-profile component chain, tables sized ~20 MB/lane so a 64-lane batch
-# stays well inside HBM together with the scan's double buffers
-_CFG = """
-comp 3 3 0 0 8
-  0 icm 5
-  1 isse 13 0
-  2 isse 15 1
-  3 isse 16 2
-  4 isse 16 3
-  5 isse 17 4
-  6 match 20 20
-  7 mix 16 0 7 24 255
-""" + _HCOMP
-
-# scaled-down tables for the CPU smoke fallback (same component chain)
-_CFG_SMALL = """
-comp 3 3 0 0 8
-  0 icm 5
-  1 isse 10 0
-  2 isse 11 1
-  3 isse 12 2
-  4 isse 12 3
-  5 isse 12 4
-  6 match 14 16
-  7 mix 16 0 7 24 255
-""" + _HCOMP
+_BASELINE_MBPS = 200.0          # top of the reference's published range
+_CORPUS_MB = 192
 
 
-def _synthetic_lanes(n_lanes: int, n_bytes: int) -> np.ndarray:
-    """Mixed text-like + binary payloads, one per lane."""
-    rng = np.random.default_rng(7)
+def _build_corpus(root: pathlib.Path, total_mb: int) -> int:
+    """Mixed corpus: 1/3 text-like, 1/3 random binary, 1/3 duplicates."""
+    rng = np.random.default_rng(11)
     words = [b"the ", b"quick ", b"brown ", b"fox ", b"jumps ", b"over ",
-             b"lazy ", b"dog ", b"zpaq ", b"tpu "]
-    out = np.zeros((n_lanes, n_bytes), np.uint8)
-    for i in range(n_lanes):
-        buf = bytearray()
-        while len(buf) < n_bytes:
-            if rng.random() < 0.85:
-                buf += words[rng.integers(len(words))]
-            else:
-                buf += bytes(rng.integers(0, 256, 8, dtype=np.uint8))
-        out[i] = np.frombuffer(bytes(buf[:n_bytes]), np.uint8)
-    return out
+             b"lazy ", b"dog ", b"backup ", b"archive ", b"fragment ",
+             b"version "]
+    root.mkdir(parents=True, exist_ok=True)
+    written = 0
+    per_file = 8 << 20
+    n_files = max(1, (total_mb << 20) // per_file)
+    text_block = b"".join(words[i % len(words)] for i in range(200000))
+    for i in range(n_files):
+        kind = i % 3
+        p = root / f"f{i:03d}.{'txt' if kind == 0 else 'bin'}"
+        if kind == 0:
+            chunk = text_block[:per_file]
+            data = (chunk * (per_file // len(chunk) + 1))[:per_file]
+        elif kind == 1:
+            data = rng.integers(0, 256, per_file, dtype=np.uint8).tobytes()
+        else:
+            # duplicate of the previous binary file with a small edit
+            prev = root / f"f{i - 1:03d}.bin"
+            data = bytearray(prev.read_bytes())
+            data[1000:1016] = b"EDITEDEDITEDED16"
+            data = bytes(data)
+        p.write_bytes(data)
+        written += len(data)
+    return written
 
 
 def main() -> None:
-    import jax
-    import jax.numpy as jnp
-    from zpaqfranz_tpu.zpaql.compiler import compile_config
-    from zpaqfranz_tpu.ops.coder_batched import BatchedEncoder
+    from zpaqfranz_tpu.jidac.add import add
 
-    platform = jax.devices()[0].platform
-    # sized so compile+run fits the driver budget; TPU gets the full load
-    if platform == "cpu":
-        n_lanes, n_bytes, cfg = 8, 192, _CFG_SMALL
-    else:
-        n_lanes, n_bytes, cfg = 64, 2048, _CFG  # ~1.3 GB of model tables
+    # RAM-backed workspace when available: the reference's published range
+    # assumes NVMe-class storage (README.md:169-171, 328); a slow /tmp
+    # would measure the disk, not the pipeline
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    td = pathlib.Path(tempfile.mkdtemp(prefix="zpaq_bench_", dir=base))
+    try:
+        src = td / "corpus"
+        nbytes = _build_corpus(src, _CORPUS_MB)
+        arc = td / "bench.zpaq"
+        cwd = os.getcwd()
+        os.chdir(td)
+        try:
+            t0 = time.time()
+            nfiles, nfrags, stored = add(str(arc), ["corpus"], method="1")
+            full_s = time.time() - t0
 
-    model, _ = compile_config(cfg)
-    enc = BatchedEncoder(model, out_cap=n_bytes + 1 + 64)
-    raw = _synthetic_lanes(n_lanes, n_bytes)
-    # lanes carry the PASS postprocessor selector + payload
-    data = np.zeros((n_lanes, n_bytes + 1), np.uint8)
-    data[:, 1:] = raw
-    data_j = jnp.asarray(data)
-    lengths = jnp.full((n_lanes,), n_bytes + 1, jnp.int32)
+            # incremental pass: touch one file, append a version
+            p = src / "f000.txt"
+            p.write_bytes(p.read_bytes() + b"incremental tail")
+            t0 = time.time()
+            add(str(arc), ["corpus"], method="1")
+            inc_s = time.time() - t0
+        finally:
+            os.chdir(cwd)
 
-    encode = jax.jit(enc.encode)
-    t0 = time.time()
-    st = encode(data_j, lengths)
-    jax.block_until_ready(st)
-    compile_s = time.time() - t0
-
-    t0 = time.time()
-    st = encode(data_j, lengths)
-    jax.block_until_ready(st)
-    run_s = time.time() - t0
-
-    total_mb = n_lanes * (n_bytes + 1) / 1e6
-    mbps = total_mb / run_s
-    ratio = float(np.asarray(st["enc"].cnt).sum()) / (n_lanes * n_bytes)
-    print(json.dumps({
-        "metric": "cm_encode_MBps_per_chip",
-        "value": round(mbps, 3),
-        "unit": "MB/s",
-        "vs_baseline": round(mbps / _BASELINE_MBPS, 4),
-        "detail": {
-            "platform": platform, "lanes": n_lanes, "bytes_per_lane": n_bytes,
-            "compile_s": round(compile_s, 1), "run_s": round(run_s, 3),
-            "compressed_ratio": round(ratio, 4),
-            "baseline_anchor_MBps": _BASELINE_MBPS,
-        },
-    }))
+        mbps = nbytes / full_s / 1e6
+        ratio = arc.stat().st_size / nbytes
+        print(json.dumps({
+            "metric": "backup_e2e_MBps",
+            "value": round(mbps, 2),
+            "unit": "MB/s",
+            "vs_baseline": round(mbps / _BASELINE_MBPS, 4),
+            "detail": {
+                "corpus_bytes": nbytes,
+                "files": nfiles,
+                "fragments": nfrags,
+                "stored_ratio": round(ratio, 4),
+                "full_pass_s": round(full_s, 2),
+                "incremental_pass_s": round(inc_s, 3),
+                "baseline_anchor_MBps": _BASELINE_MBPS,
+                "baseline_source": "reference README.md:328 (80-200 MB/s)",
+            },
+        }))
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -1205,24 +1205,48 @@ size_t tz_lz77_encode(const u8* in, size_t n, int min_match, int depth_log,
       len -= len1;
     }
   };
+  // word-wide match extension (little-endian load + ctz on the xor)
+  auto match_len = [&](size_t cand, size_t pos) -> size_t {
+    size_t lim = n - pos;
+    if (lim > 4096) lim = 4096;
+    size_t l = 0;
+    while (l + 8 <= lim) {
+      uint64_t a, b;
+      memcpy(&a, in + cand + l, 8);
+      memcpy(&b, in + pos + l, 8);
+      uint64_t x = a ^ b;
+      if (x) return l + (__builtin_ctzll(x) >> 3);
+      l += 8;
+    }
+    while (l < lim && in[cand + l] == in[pos + l]) ++l;
+    return l;
+  };
+  auto insert = [&](size_t pos) {
+    u32 h = hash4(pos);
+    if (!chain.empty()) chain[pos] = head[h];
+    head[h] = u32(pos);
+  };
   while (i < n) {
     size_t blen = 0, boff = 0;
     int bscore = 0;
     if (i + 4 <= n) {
       u32 h = hash4(i);
       u32 p = head[h];
+      u32 first4;
+      memcpy(&first4, in + i, 4);
       for (int k = 0; k < depth && p != 0xFFFFFFFFu; ++k) {
         size_t cand = p;
-        size_t l = 0;
-        size_t lim = n - i;
-        // allow long raw matches; emitter splits to max_match chunks
-        while (l < lim && in[cand + l] == in[i + l] && l < 4096) ++l;
-        size_t off = i - cand;
-        int extra = (off >= (1u << 16)) + (off >= (1u << 24));
-        if (l >= size_t(min_match + extra)) {
-          int score = int(l < 4096 ? l : 4096) * 8 - ilog2(u32(off)) - 11
-                      - 2 * (i > lit_start);
-          if (score > bscore) { bscore = score; blen = l; boff = off; }
+        u32 c4;
+        memcpy(&c4, in + cand, 4);
+        if (c4 == first4) {
+          size_t l = match_len(cand, i);
+          size_t off = i - cand;
+          int extra = (off >= (1u << 16)) + (off >= (1u << 24));
+          if (l >= size_t(min_match + extra)) {
+            int score = int(l) * 8 - ilog2(u32(off)) - 11
+                        - 2 * (i > lit_start);
+            if (score > bscore) { bscore = score; blen = l; boff = off; }
+          }
         }
         if (chain.empty()) break;
         p = chain[cand];
@@ -1233,26 +1257,23 @@ size_t tz_lz77_encode(const u8* in, size_t n, int min_match, int depth_log,
       flush_literals(i);
       emit_match(blen, boff);
       size_t stop = i + blen;
-      while (i < stop) {
-        if (i + 4 <= n) {
-          u32 h = hash4(i);
-          if (!chain.empty()) chain[i] = head[h];
-          head[h] = u32(i);
-        }
-        ++i;
-      }
+      // sparse insertion inside long matches: O(len) insertions add
+      // nothing for dedup-style data but dominate runtime
+      size_t istep = blen > 64 ? blen / 32 : 1;
+      for (size_t j = i; j + 4 <= n && j < stop; j += istep) insert(j);
+      i = stop;
       lit_start = i;
     } else {
-      if (i + 4 <= n) {
-        u32 h = hash4(i);
-        if (!chain.empty()) chain[i] = head[h];
-        head[h] = u32(i);
-      }
-      ++i;
-      if (i - lit_start >= 4096) flush_literals(i);
+      if (i + 4 <= n) insert(i);
+      // skip-ahead acceleration: grow the stride while no matches are
+      // found (incompressible regions), LZ4-style; costs at most one
+      // missed short match right after a long literal run
+      size_t run = i - lit_start;
+      i += 1 + (run >> 7);
+      if (i - lit_start >= 4096) flush_literals(i < n ? i : n);
     }
   }
-  flush_literals(n);
+  if (lit_start < n) flush_literals(n);
   return w;   // bytes needed; caller re-calls with a bigger cap if > cap
 }
 

@@ -165,7 +165,7 @@ def add(archive: str, files: Sequence[str], method: str = "1",
         jd = Jidac()
 
     model, pre = make_model(method)   # raises for not-yet-supported methods
-    block_cap = min(1 << pre.block_bits, 1 << 26)
+    block_cap = min(1 << pre.block_bits, 1 << 24)  # >= threads jobs in flight
 
     ext = scan_files(files)
     date = date or now_date()
@@ -196,31 +196,44 @@ def add(archive: str, files: Sequence[str], method: str = "1",
     file_ptrs: Dict[str, List[int]] = {}
     new_ht: List[HT] = []
 
-    file_sums: Dict[str, Tuple[int, int]] = {}
-    for name in changed:
+    # per-file CDC + hashing runs in a thread pool (the native calls
+    # release the GIL); the dedup/fragment-ID assignment stays serial in
+    # file order so IDs are deterministic (SURVEY.md section 7 hard part 6)
+    import concurrent.futures as _fut
+    hash_threads = threads or min(16, (os.cpu_count() or 4))
+
+    def _digest_file(name: str):
         data = pathlib.Path(name).read_bytes()
-        file_sums[name] = (native.crc32(data), native.xxh64(data))
-        ptrs: List[int] = []
+        sums = (native.crc32(data), native.xxh64(data))
+        frags: List[Tuple[bytes, int, int]] = []   # (sha, start, end)
         start = 0
         for end in (native.cdc_boundaries(data, fragment_bits)
                     if data else []):
-            frag = data[start:end]
+            frags.append((native.sha1(data[start:end]), start, end))
             start = end
-            sha = native.sha1(frag)
-            fid = dedup.get(sha)
-            if fid is None:
-                fid = next_frag
-                next_frag += 1
-                dedup[sha] = fid
-                new_ht.append(HT(sha, len(frag)))
-                cur.frags.append((sha, len(frag)))
-                cur.data += frag
-                if len(cur.data) >= block_cap:
-                    jobs.append(cur)
-                    cur = _Job(first_frag=next_frag, frags=[],
-                               data=bytearray())
-            ptrs.append(fid)
-        file_ptrs[name] = ptrs
+        return data, sums, frags
+
+    file_sums: Dict[str, Tuple[int, int]] = {}
+    with _fut.ThreadPoolExecutor(max_workers=hash_threads) as hx:
+        for name, (data, sums, frags) in zip(
+                changed, hx.map(_digest_file, changed)):
+            file_sums[name] = sums
+            ptrs: List[int] = []
+            for sha, start, end in frags:
+                fid = dedup.get(sha)
+                if fid is None:
+                    fid = next_frag
+                    next_frag += 1
+                    dedup[sha] = fid
+                    new_ht.append(HT(sha, end - start))
+                    cur.frags.append((sha, end - start))
+                    cur.data += data[start:end]
+                    if len(cur.data) >= block_cap:
+                        jobs.append(cur)
+                        cur = _Job(first_frag=next_frag, frags=[],
+                                   data=bytearray())
+                ptrs.append(fid)
+            file_ptrs[name] = ptrs
     if cur.frags:
         jobs.append(cur)
 

@@ -241,7 +241,10 @@ def lz77_encode(data: bytes, min_match: int = 6, depth_log: int = 4,
                 hash_bits: int = 22) -> bytes:
     """Byte-aligned LZ77 transform (reference level-2 stream format)."""
     lib = _load()
-    cap = len(data) + len(data) // 32 + 64
+    # generous first-try capacity: incompressible input expands under
+    # byte-aligned LZ77 (literal-run headers), and a retry re-encodes
+    # the whole block — far costlier than the extra buffer
+    cap = len(data) + len(data) // 8 + 1024
     out = C.create_string_buffer(cap)
     need = lib.tz_lz77_encode(data, len(data), min_match, depth_log,
                               hash_bits, out, cap)

@@ -166,10 +166,19 @@ class EncState(NamedTuple):
 
 
 def _emit(es: EncState, byte: jax.Array, go: jax.Array) -> EncState:
+    # vectorized single-slot write on TPU (scatters serialize on the scalar
+    # core; one iota-compare pass over the output buffer is far cheaper);
+    # native scatter elsewhere — see predictor_batched._use_where
+    from .predictor_batched import _use_where
     L, cap = es.out.shape
-    lanes = jnp.arange(L)
-    idx = jnp.where(go & (es.cnt < cap), es.cnt, cap)
-    out = es.out.at[lanes, idx].set(byte.astype(U8), mode="drop")
+    if _use_where(cap):
+        cols = jnp.broadcast_to(jnp.arange(cap, dtype=I32)[None, :], (L, cap))
+        m = (cols == es.cnt[:, None]) & go[:, None]
+        out = jnp.where(m, byte.astype(U8)[:, None], es.out)
+    else:
+        lanes = jnp.arange(L)
+        idx = jnp.where(go & (es.cnt < cap), es.cnt, cap)
+        out = es.out.at[lanes, idx].set(byte.astype(U8), mode="drop")
     return EncState(es.low, es.high, out, es.cnt + go.astype(I32))
 
 

@@ -79,6 +79,89 @@ def _midx(idx: jax.Array, active, size: int) -> jax.Array:
     return jnp.where(active, idx, jnp.int32(size))
 
 
+# TPU scatter strategy. XLA:TPU lowers per-lane scatters to a serialized
+# scalar-core loop (~0.1 us per lane PER OP measured on v5e), which made the
+# original per-bit update path ~1000x slower than the VPU math around it.
+# Gathers, by contrast, use the fast vector path. So for tables up to
+# _WHERE_MAX elements per lane we write via a full-row vectorized select
+# (iota compare + where): one VPU/HBM pass over (L, S), independent of how
+# many lanes hit which rows. Beyond that, the serialized scatter wins again
+# (the pass cost grows with S); big-table models pay it, TPU-profile models
+# (all tables <= _WHERE_MAX) run entirely scatter-free.
+#
+# On CPU the opposite holds (native scatters are cheap, full-table passes
+# are not), so the strategy is backend-dependent at trace time;
+# ZPAQFRANZ_SCATTER=where|at overrides (tests cover both paths).
+_WHERE_MAX = 1 << 15
+
+
+def _use_where(S: int) -> bool:
+    import os
+    mode = os.environ.get("ZPAQFRANZ_SCATTER", "auto")
+    if mode == "at":
+        return False
+    if mode == "where":
+        return S <= _WHERE_MAX
+    return jax.default_backend() == "tpu" and S <= _WHERE_MAX
+
+
+def _scatter1(tab: jax.Array, idx: jax.Array, val: jax.Array, active
+              ) -> jax.Array:
+    """Write val[l] at tab[l, idx[l]] for active lanes."""
+    L, S = tab.shape
+    if _use_where(S):
+        cols = jax.lax.broadcasted_iota(I32, (L, S), 1)
+        m = cols == idx.astype(I32)[:, None]
+        if active is not None:
+            m = m & active[:, None]
+        return jnp.where(m, val.astype(tab.dtype)[:, None], tab)
+    lanes = jnp.arange(L)
+    return tab.at[lanes, _midx(idx, active, S)].set(
+        val.astype(tab.dtype), mode="drop")
+
+
+def _scatter_pair(tab: jax.Array, idx2: jax.Array, v0: jax.Array,
+                  v1: jax.Array, active) -> jax.Array:
+    """Write v0 at tab[l, 2*k] and v1 at tab[l, 2*k+1] where idx2 = 2*k
+    (the ISSE weight-pair layout) in a single table pass."""
+    L, S = tab.shape
+    if _use_where(S):
+        cols = jax.lax.broadcasted_iota(I32, (L, S), 1)
+        mrow = (cols >> 1) == (idx2.astype(I32) >> 1)[:, None]
+        if active is not None:
+            mrow = mrow & active[:, None]
+        v = jnp.where((cols & 1) == 0, v0.astype(tab.dtype)[:, None],
+                      v1.astype(tab.dtype)[:, None])
+        return jnp.where(mrow, v, tab)
+    lanes = jnp.arange(L)
+    tab = tab.at[lanes, _midx(idx2, active, S)].set(
+        v0.astype(tab.dtype), mode="drop")
+    return tab.at[lanes, _midx(idx2 + 1, active, S)].set(
+        v1.astype(tab.dtype), mode="drop")
+
+
+def _scatter_row(tab: jax.Array, base: jax.Array, row: jax.Array, active
+                 ) -> jax.Array:
+    """Write a contiguous W-wide row at tab[l, base[l]:base[l]+W]; base must
+    be W-aligned. Single pass via a (L, S/W, W) reshape when small."""
+    L, S = tab.shape
+    W = row.shape[1]
+    if _use_where(S) and S % W == 0:
+        t3 = tab.reshape(L, S // W, W)
+        rows = jax.lax.broadcasted_iota(I32, (L, S // W), 1)
+        m = rows == (base.astype(I32) // W)[:, None]
+        if active is not None:
+            m = m & active[:, None]
+        t3 = jnp.where(m[:, :, None], row.astype(tab.dtype)[:, None, :], t3)
+        return t3.reshape(L, S)
+    lanes = jnp.arange(L)
+    cols = base.astype(I32)[:, None] + jnp.arange(W)[None, :]
+    if active is not None:
+        cols = jnp.where(active[:, None], cols, jnp.int32(S))
+    return tab.at[lanes[:, None], cols].set(
+        row.astype(tab.dtype), mode="drop")
+
+
 def _sel(active, new, old):
     """Per-lane scalar merge; identity when no mask."""
     if active is None:
@@ -119,11 +202,9 @@ def _find(ht: jax.Array, sizebits: int, cxt: jax.Array, mask: jax.Array
     idx = jnp.where(any_match, hit, rep)
     # on replacement: zero the 16-byte row, then set its checksum byte
     need_clear = mask & ~any_match
-    cols = idx[:, None] + jnp.arange(16)[None, :]          # (L, 16)
-    cols = jnp.where(need_clear[:, None], cols, S)          # sentinel -> drop
     fresh = jnp.concatenate(
         [chk[:, None], jnp.zeros((L, 15), U8)], axis=1)
-    new_ht = ht.at[lanes[:, None], cols].set(fresh, mode="drop")
+    new_ht = _scatter_row(ht, idx, fresh, need_clear)
     return new_ht, idx
 
 
@@ -294,9 +375,7 @@ class BatchedPredictor:
         error = y.astype(I32) * 32767 - (pn >> 17).astype(I32)
         delta = ((error * _DT[count]) & -1024).astype(U32)
         pn2 = pn + delta + (count < limit).astype(U32)
-        lanes = jnp.arange(cm.shape[0])
-        st[f"cm{i}"] = cm.at[lanes, _midx(idx, active, size)].set(
-            pn2, mode="drop")
+        st[f"cm{i}"] = _scatter1(cm, idx, pn2, active)
 
     def update(self, st: Dict[str, jax.Array], p: List[jax.Array],
                y: jax.Array, phase: int, active=None
@@ -318,14 +397,13 @@ class BatchedPredictor:
                 ht = st[f"ht{i}"]
                 idx = (st[f"c{i}"] + (hmap4 & 15)).astype(I32)
                 old = _gather(ht, idx)
-                st[f"ht{i}"] = ht.at[lanes, _midx(idx, active, ht.shape[1])].set(
-                    _SNS[old.astype(I32) * 4 + yi], mode="drop")
+                st[f"ht{i}"] = _scatter1(
+                    ht, idx, _SNS[old.astype(I32) * 4 + yi], active)
                 cm = st[f"cm{i}"]
                 cxt = st[f"cxt{i}"].astype(I32)
                 pn = _gather(cm, cxt)
                 delta = ((yi * 32767 - (pn >> 8).astype(I32)) >> 2).astype(U32)
-                st[f"cm{i}"] = cm.at[lanes, _midx(cxt, active, cm.shape[1])].set(
-                    pn + delta, mode="drop")
+                st[f"cm{i}"] = _scatter1(cm, cxt, pn + delta, active)
             elif t == T.MATCH:
                 ht, cm = st[f"ht{i}"], st[f"cm{i}"]
                 mask = np.uint32(ht.shape[1] - 1)
@@ -335,8 +413,8 @@ class BatchedPredictor:
                 pos = st[f"lim{i}"]
                 widx = (pos & mask).astype(I32)
                 old = _gather(ht, widx).astype(U32)
-                st[f"ht{i}"] = ht.at[lanes, _midx(widx, active, ht.shape[1])].set(
-                    ((old * 2 + yu) & 255).astype(U8), mode="drop")
+                st[f"ht{i}"] = _scatter1(
+                    ht, widx, ((old * 2 + yu) & 255), active)
                 ht = st[f"ht{i}"]
                 if phase == 7:  # byte boundary (cxt would reach 8)
                     pos1 = (pos + 1) & mask
@@ -366,9 +444,7 @@ class BatchedPredictor:
                                   jnp.where(need_scan, a_scan,
                                             jnp.zeros_like(a)),
                                   jnp.minimum(a + 1, 255))
-                    st[f"cm{i}"] = cm.at[lanes, _midx(hidx, active,
-                                                      cm.shape[1])].set(
-                        pos1, mode="drop")
+                    st[f"cm{i}"] = _scatter1(cm, hidx, pos1, active)
                     st[f"b{i}"] = _sel(active, b, st[f"b{i}"])
                     st[f"lim{i}"] = _sel(active, pos1, st[f"lim{i}"])
                     st[f"cxt{i}"] = _sel(active, jnp.zeros_like(pos1),
@@ -383,9 +459,8 @@ class BatchedPredictor:
                 cxt = st[f"cxt{i}"].astype(I32)
                 w = _gather(a16, cxt)
                 w = w + ((err * (p[cp[2]] - p[cp[3]]) + (1 << 12)) >> 13)
-                st[f"a16{i}"] = a16.at[lanes, _midx(cxt, active,
-                                                   a16.shape[1])].set(
-                    jnp.clip(w, 0, 65535), mode="drop")
+                st[f"a16{i}"] = _scatter1(
+                    a16, cxt, jnp.clip(w, 0, 65535), active)
             elif t == T.MIX:
                 m = cp[3]
                 err = ((yi * 32767 - _SQUASHT[p[i] + 2048]) * cp[4]) >> 4
@@ -394,11 +469,8 @@ class BatchedPredictor:
                 wt = jnp.take_along_axis(cm, cols, axis=1)
                 pin = jnp.stack([p[cp[2] + j] for j in range(m)], axis=1)
                 wt2 = _clamp512k(wt + ((err[:, None] * pin + (1 << 12)) >> 13))
-                if active is not None:
-                    cols = jnp.where(active[:, None], cols,
-                                     jnp.int32(cm.shape[1]))
-                st[f"cm{i}"] = cm.at[lanes[:, None], cols].set(
-                    wt2, mode="drop")
+                st[f"cm{i}"] = _scatter_row(
+                    cm, st[f"cxt{i}"].astype(I32), wt2, active)
             elif t == T.ISSE:
                 err = yi * 32767 - _SQUASHT[p[i] + 2048]
                 cm = st[f"cm{i}"]
@@ -407,16 +479,10 @@ class BatchedPredictor:
                 w1 = _gather(cm, cxt * 2 + 1)
                 w0n = _clamp512k(w0 + ((err * p[cp[2]] + (1 << 12)) >> 13))
                 w1n = _clamp512k(w1 + ((err + 16) >> 5))
-                cm = cm.at[lanes, _midx(cxt * 2, active, cm.shape[1])].set(
-                    w0n, mode="drop")
-                st[f"cm{i}"] = cm.at[lanes, _midx(cxt * 2 + 1, active,
-                                                  cm.shape[1])].set(
-                    w1n, mode="drop")
+                st[f"cm{i}"] = _scatter_pair(cm, cxt * 2, w0n, w1n, active)
                 ht = st[f"ht{i}"]
                 idx = (st[f"c{i}"] + (hmap4 & 15)).astype(I32)
-                st[f"ht{i}"] = ht.at[lanes, _midx(idx, active,
-                                                  ht.shape[1])].set(
-                    _SNS[cxt * 4 + yi], mode="drop")
+                st[f"ht{i}"] = _scatter1(ht, idx, _SNS[cxt * 4 + yi], active)
             elif t == T.SSE:
                 self._train(st, i, cp[1], cp[4] * 4, y, active)
         # ---- advance partial-byte state (static branch per phase)

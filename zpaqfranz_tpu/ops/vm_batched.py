@@ -192,21 +192,30 @@ class BatchedVM:
         new_f = jnp.where(is_cmp, cmp_res, f)
 
         active = ~halted
-        # ---- memory scatters (masked via out-of-range sentinel + drop)
-        msize = np.int32(1 << self.mbits)
-        hsize = np.int32(1 << self.hbits)
+        # ---- memory writes: vectorized full-row selects on TPU (scatters
+        # serialize on the scalar core; M/H/R are small, so an iota-compare
+        # write is one fast VPU pass), native scatters elsewhere — see
+        # predictor_batched._use_where for the strategy rationale
+        from .predictor_batched import _use_where
+
+        def where_write(tab, idx, val, wmask):
+            L2, S2 = tab.shape
+            if _use_where(S2):
+                cols = jax.lax.broadcasted_iota(I32, (L2, S2), 1)
+                m = (cols == idx.astype(I32)[:, None]) & wmask[:, None]
+                return jnp.where(m, val.astype(tab.dtype)[:, None], tab)
+            sidx = jnp.where(wmask, idx.astype(I32), jnp.int32(S2))
+            return tab.at[jnp.arange(L2), sidx].set(
+                val.astype(tab.dtype), mode="drop")
+
         wm = active & writes_tgt & ((ddd == 4) | (ddd == 5))
         m_idx = jnp.where(ddd == 4, mb_idx, mc_idx)
-        m_idx = jnp.where(wm, m_idx, msize)
-        new_m = st.m.at[lanes, m_idx].set(
-            (tgt_val & 255).astype(U8), mode="drop")
+        new_m = where_write(st.m, m_idx, tgt_val & 255, wm)
         wh = active & ((writes_tgt & (ddd == 6)) | is_hashd)
         h_val = jnp.where(is_hashd, (hd + a + 512) * 773, tgt_val)
-        h_idx = jnp.where(wh, hd_idx, hsize)
-        new_h = st.h.at[lanes, h_idx].set(h_val, mode="drop")
+        new_h = where_write(st.h, hd_idx, h_val, wh)
         wr = active & is_req_a
-        r_idx = jnp.where(wr, arg.astype(jnp.int32), jnp.int32(256))
-        new_r = st.r.at[lanes, r_idx].set(a, mode="drop")
+        new_r = where_write(st.r, arg.astype(jnp.int32), a, wr)
 
         # ---- program counter
         nlen = self._lens[op]
