@@ -906,6 +906,69 @@ static const u32 SHA256_K[64] = {
   0x5b9cca4f,0x682e6ff3,0x748f82ee,0x78a5636f,0x84c87814,0x8cc70208,
   0x90befffa,0xa4506ceb,0xbef9a3f7,0xc67178f2};
 
+#include <immintrin.h>
+
+// x86 SHA-NI block function (runtime-dispatched; same hardware path the
+// reference offers via -DHWSHA2). Canonical two-lane state layout:
+// STATE0 = {C,D,G,H}, STATE1 = {A,B,E,F} after the loading shuffles.
+__attribute__((target("sha,sse4.1,ssse3")))
+static void sha256_blocks_ni(u32 h[8], const u8* p, size_t nblocks) {
+  const __m128i MASK = _mm_set_epi64x(0x0c0d0e0f08090a0bULL,
+                                      0x0405060700010203ULL);
+  static const u32 K[64] = {
+    0x428a2f98,0x71374491,0xb5c0fbcf,0xe9b5dba5,0x3956c25b,0x59f111f1,
+    0x923f82a4,0xab1c5ed5,0xd807aa98,0x12835b01,0x243185be,0x550c7dc3,
+    0x72be5d74,0x80deb1fe,0x9bdc06a7,0xc19bf174,0xe49b69c1,0xefbe4786,
+    0x0fc19dc6,0x240ca1cc,0x2de92c6f,0x4a7484aa,0x5cb0a9dc,0x76f988da,
+    0x983e5152,0xa831c66d,0xb00327c8,0xbf597fc7,0xc6e00bf3,0xd5a79147,
+    0x06ca6351,0x14292967,0x27b70a85,0x2e1b2138,0x4d2c6dfc,0x53380d13,
+    0x650a7354,0x766a0abb,0x81c2c92e,0x92722c85,0xa2bfe8a1,0xa81a664b,
+    0xc24b8b70,0xc76c51a3,0xd192e819,0xd6990624,0xf40e3585,0x106aa070,
+    0x19a4c116,0x1e376c08,0x2748774c,0x34b0bcb5,0x391c0cb3,0x4ed8aa4a,
+    0x5b9cca4f,0x682e6ff3,0x748f82ee,0x78a5636f,0x84c87814,0x8cc70208,
+    0x90befffa,0xa4506ceb,0xbef9a3f7,0xc67178f2};
+  __m128i TMP = _mm_loadu_si128((const __m128i*)&h[0]);    // A B C D
+  __m128i S1  = _mm_loadu_si128((const __m128i*)&h[4]);    // E F G H
+  TMP = _mm_shuffle_epi32(TMP, 0xB1);                       // B A D C
+  S1  = _mm_shuffle_epi32(S1, 0x1B);                        // H G F E
+  __m128i S0 = _mm_alignr_epi8(TMP, S1, 8);                 // C D G H
+  S1 = _mm_blend_epi16(S1, TMP, 0xF0);                      // A B E F
+  while (nblocks--) {
+    const __m128i SV0 = S0, SV1 = S1;
+    __m128i MSG[4];
+    for (int j = 0; j < 4; ++j)
+      MSG[j] = _mm_shuffle_epi8(
+          _mm_loadu_si128((const __m128i*)(p + 16 * j)), MASK);
+    for (int i = 0; i < 16; ++i) {
+      __m128i m = _mm_add_epi32(MSG[i & 3],
+                                _mm_loadu_si128((const __m128i*)&K[4 * i]));
+      S1 = _mm_sha256rnds2_epu32(S1, S0, m);
+      if (i >= 3 && i <= 14) {
+        __m128i t = _mm_alignr_epi8(MSG[i & 3], MSG[(i + 3) & 3], 4);
+        MSG[(i + 1) & 3] = _mm_add_epi32(MSG[(i + 1) & 3], t);
+        MSG[(i + 1) & 3] = _mm_sha256msg2_epu32(MSG[(i + 1) & 3],
+                                                MSG[i & 3]);
+      }
+      m = _mm_shuffle_epi32(m, 0x0E);
+      S0 = _mm_sha256rnds2_epu32(S0, S1, m);
+      if (i >= 1 && i <= 12)
+        MSG[(i + 3) & 3] = _mm_sha256msg1_epu32(MSG[(i + 3) & 3],
+                                                MSG[i & 3]);
+    }
+    S0 = _mm_add_epi32(S0, SV0);
+    S1 = _mm_add_epi32(S1, SV1);
+    p += 64;
+  }
+  TMP = _mm_shuffle_epi32(S0, 0x1B);                        // H G D C -> ...
+  S1 = _mm_shuffle_epi32(S1, 0xB1);
+  S0 = _mm_blend_epi16(TMP, S1, 0xF0);
+  S1 = _mm_alignr_epi8(S1, TMP, 8);
+  _mm_storeu_si128((__m128i*)&h[0], S0);
+  _mm_storeu_si128((__m128i*)&h[4], S1);
+}
+
+static const bool g_sha256_ni = __builtin_cpu_supports("sha");
+
 static void sha256_block(u32 h[8], const u8* p) {
   u32 w[64];
   for (int i = 0; i < 16; ++i)
@@ -933,6 +996,11 @@ extern "C" void tz_sha256(const u8* data, size_t n, u8* out32) {
   u32 h[8] = {0x6a09e667,0xbb67ae85,0x3c6ef372,0xa54ff53a,
               0x510e527f,0x9b05688c,0x1f83d9ab,0x5be0cd19};
   size_t i = 0;
+  if (n >= 64 && g_sha256_ni) {
+    size_t nb = n / 64;
+    sha256_blocks_ni(h, data, nb);
+    i = nb * 64;
+  }
   for (; i + 64 <= n; i += 64) sha256_block(h, data + i);
   u8 tail[128];
   size_t r = n - i;

@@ -30,6 +30,12 @@ extern "C" void tz_install_tables(const u8* sns, const u32* cminit,
 }
 
 // ---- SHA-1 (FIPS 180-1, clean-room; fragment checksums) -------------------
+// Two block functions: portable scalar and an x86 SHA-NI path dispatched at
+// runtime (the reference ships the analogous -DHWSHA2 hardware option,
+// man/zpaqfranz.pod:148-156). Fragment hashing is the add pipeline's
+// hottest host stage, so the ~8x NI speedup is end-to-end visible.
+#include <immintrin.h>
+
 void SHA1::init() {
   len = 0;
   h[0] = 0x67452301; h[1] = 0xEFCDAB89; h[2] = 0x98BADCFE;
@@ -37,6 +43,50 @@ void SHA1::init() {
 }
 
 static inline u32 rol(u32 x, int k) { return (x << k) | (x >> (32 - k)); }
+
+__attribute__((target("sha,sse4.1,ssse3")))
+static void sha1_blocks_ni(u32 h[5], const u8* p, size_t nblocks) {
+  const __m128i MASK = _mm_set_epi64x(0x0001020304050607ULL,
+                                      0x08090a0b0c0d0e0fULL);
+  __m128i ABCD = _mm_loadu_si128((const __m128i*)h);
+  ABCD = _mm_shuffle_epi32(ABCD, 0x1B);
+  __m128i E0 = _mm_set_epi32((int)h[4], 0, 0, 0);
+  while (nblocks--) {
+    const __m128i ABCD_SAVE = ABCD;
+    const __m128i E0_SAVE = E0;
+    __m128i MSG[4];
+    for (int j = 0; j < 4; ++j)
+      MSG[j] = _mm_shuffle_epi8(
+          _mm_loadu_si128((const __m128i*)(p + 16 * j)), MASK);
+    __m128i E = _mm_setzero_si128();
+    for (int i = 0; i < 20; ++i) {
+      __m128i cur = MSG[i & 3];
+      __m128i e_in = (i == 0) ? _mm_add_epi32(E0, cur)
+                              : _mm_sha1nexte_epu32(E, cur);
+      __m128i prev = ABCD;
+      switch (i / 5) {            // immediate must be a constant
+        case 0: ABCD = _mm_sha1rnds4_epu32(ABCD, e_in, 0); break;
+        case 1: ABCD = _mm_sha1rnds4_epu32(ABCD, e_in, 1); break;
+        case 2: ABCD = _mm_sha1rnds4_epu32(ABCD, e_in, 2); break;
+        default: ABCD = _mm_sha1rnds4_epu32(ABCD, e_in, 3); break;
+      }
+      E = prev;
+      if (i < 16) {
+        __m128i t = _mm_sha1msg1_epu32(MSG[i & 3], MSG[(i + 1) & 3]);
+        t = _mm_xor_si128(t, MSG[(i + 2) & 3]);
+        MSG[i & 3] = _mm_sha1msg2_epu32(t, MSG[(i + 3) & 3]);
+      }
+    }
+    E0 = _mm_sha1nexte_epu32(E, E0_SAVE);
+    ABCD = _mm_add_epi32(ABCD, ABCD_SAVE);
+    p += 64;
+  }
+  ABCD = _mm_shuffle_epi32(ABCD, 0x1B);
+  _mm_storeu_si128((__m128i*)h, ABCD);
+  h[4] = (u32)_mm_extract_epi32(E0, 3);
+}
+
+static const bool g_has_shani = __builtin_cpu_supports("sha");
 
 void SHA1::block(const u8* p) {
   u32 w[80];
@@ -67,6 +117,11 @@ void SHA1::update(const u8* p, size_t n) {
     p += take; n -= take; fill += take;
     if (fill == 64) block(buf);
     else return;
+  }
+  if (n >= 64 && g_has_shani) {
+    size_t nb = n / 64;
+    sha1_blocks_ni(h, p, nb);
+    p += nb * 64; n -= nb * 64;
   }
   while (n >= 64) { block(p); p += 64; n -= 64; }
   if (n) memcpy(buf, p, n);
