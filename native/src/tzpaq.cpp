@@ -10,6 +10,10 @@
 
 #include <algorithm>
 #include <cassert>
+#include <cstdlib>
+#ifdef __linux__
+#include <sys/mman.h>
+#endif
 
 namespace tzpaq {
 
@@ -1219,18 +1223,37 @@ static int ilog2(u32 x) {
 
 size_t tz_lz77_encode(const u8* in, size_t n, int min_match, int depth_log,
                       int hash_bits, u8* out, size_t cap) {
-  const u32 htsize = u32(1) << hash_bits;
-  const u32 hmask = htsize - 1;
-  const int depth = 1 << depth_log;
-  std::vector<u32> head(htsize, 0xFFFFFFFFu);
-  std::vector<u32> chain(n < (size_t(1) << 28) ? n : 0, 0xFFFFFFFFu);
+  // Match finder: K-way bucketed hash table, one u64 per candidate =
+  // (first 4 bytes as a tag << 32 | position). Tags make failed probes
+  // touch ONLY the row's 1-2 cache lines, never the input: scattered
+  // in[cand] reads are the dominant cost on TLB-hostile hosts (this
+  // sandboxed VM swings 18 vs 1700 MB/s purely on input page state).
+  // Unlike per-position chains (4 B x input, re-faulted every call),
+  // the table is a few MB and cache-resident.
+  const int K = depth_log <= 1 ? 2 : (depth_log >= 4 ? 16 : 1 << depth_log);
+  int hb = hash_bits - depth_log;            // keep table ~= chain depth
+  if (hb < 12) hb = 12;
+  if (hb > 17) hb = 17;                      // cap table at 16*8*2^17 = 16 MB
+  const u32 rows = u32(1) << hb;
+  static thread_local u64* tab = nullptr;    // rows*K (tag,pos) entries
+  static thread_local size_t tab_cap = 0;
+  if (tab_cap < size_t(rows) * K) {
+    free(tab);
+    tab_cap = size_t(rows) * K;
+    tab = (u64*)aligned_alloc(2u << 20, (tab_cap * 8 + (2u << 20) - 1)
+                                        & ~size_t((2u << 20) - 1));
+#ifdef __linux__
+    madvise(tab, tab_cap * 8, MADV_HUGEPAGE);
+#endif
+  }
+  // pos field 0xFFFFFFFF = empty (input blocks are < 4 GiB by format)
+  memset(tab, 0xFF, size_t(rows) * K * 8);
   size_t w = 0;                 // write pos
   auto put = [&](u8 c) { if (w < cap) out[w] = c; ++w; };
-  auto hash4 = [&](size_t i) -> u32 {
-    u32 x = u32(in[i]) | (u32(in[i + 1]) << 8) | (u32(in[i + 2]) << 16)
-            | (u32(in[i + 3]) << 24);
-    return (x * 2654435761u) >> (32 - hash_bits) & hmask;
+  auto read4 = [&](size_t i) -> u32 {
+    u32 x; memcpy(&x, in + i, 4); return x;
   };
+  auto hash4v = [&](u32 x) -> u32 { return (x * 2654435761u) >> (32 - hb); };
   size_t i = 0, lit_start = 0;
   auto flush_literals = [&](size_t upto) {
     size_t lit = upto - lit_start;
@@ -1277,23 +1300,24 @@ size_t tz_lz77_encode(const u8* in, size_t n, int min_match, int depth_log,
     return l;
   };
   auto insert = [&](size_t pos) {
-    u32 h = hash4(pos);
-    if (!chain.empty()) chain[pos] = head[h];
-    head[h] = u32(pos);
+    u32 v4 = read4(pos);
+    u64* row = &tab[size_t(hash4v(v4)) * K];
+    // round-robin slot keyed off the position itself: cheap, and spreads
+    // repeated hashes across the bucket so recent AND older offsets survive
+    row[(pos >> 1) & (K - 1)] = (u64(v4) << 32) | u32(pos);
   };
   while (i < n) {
     size_t blen = 0, boff = 0;
     int bscore = 0;
     if (i + 4 <= n) {
-      u32 h = hash4(i);
-      u32 p = head[h];
-      u32 first4;
-      memcpy(&first4, in + i, 4);
-      for (int k = 0; k < depth && p != 0xFFFFFFFFu; ++k) {
+      u32 first4 = read4(i);
+      u64* row = &tab[size_t(hash4v(first4)) * K];
+      for (int k = 0; k < K; ++k) {
+        u64 e = row[k];
+        u32 p = u32(e);
+        if (u32(e >> 32) != first4 || size_t(p) >= i) continue;
         size_t cand = p;
-        u32 c4;
-        memcpy(&c4, in + cand, 4);
-        if (c4 == first4) {
+        {
           size_t l = match_len(cand, i);
           size_t off = i - cand;
           int extra = (off >= (1u << 16)) + (off >= (1u << 24));
@@ -1303,9 +1327,7 @@ size_t tz_lz77_encode(const u8* in, size_t n, int min_match, int depth_log,
             if (score > bscore) { bscore = score; blen = l; boff = off; }
           }
         }
-        if (chain.empty()) break;
-        p = chain[cand];
-        if (blen >= 128) break;
+        if (blen >= 1024) break;   // good enough; stop probing
       }
     }
     if (blen) {
@@ -1322,10 +1344,12 @@ size_t tz_lz77_encode(const u8* in, size_t n, int min_match, int depth_log,
       if (i + 4 <= n) insert(i);
       // skip-ahead acceleration: grow the stride while no matches are
       // found (incompressible regions), LZ4-style; costs at most one
-      // missed short match right after a long literal run
+      // missed short match right after a long literal run. The stride
+      // must never reset mid-run: on hash tables saturated by earlier
+      // (unrelated) data, every probe is ~`depth` cache misses, so
+      // random payloads would otherwise crawl at single-digit MB/s.
       size_t run = i - lit_start;
-      i += 1 + (run >> 7);
-      if (i - lit_start >= 4096) flush_literals(i < n ? i : n);
+      i += 1 + (run >> 6);
     }
   }
   if (lit_start < n) flush_literals(n);
@@ -1416,22 +1440,68 @@ u64 tz_xxh64(const u8* p, size_t len, u64 seed) {
 }
 
 // CRC-32 (IEEE 802.3, reflected), table-driven.
-static u32 crc_table[256];
+static u32 crc_table[16][256];
 static bool crc_ready = false;
 
-u32 tz_crc32(u32 crc, const u8* data, size_t n) {
-  if (!crc_ready) {
-    for (u32 i = 0; i < 256; ++i) {
-      u32 c = i;
-      for (int k = 0; k < 8; ++k) c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : c >> 1;
-      crc_table[i] = c;
-    }
-    crc_ready = true;
+static void crc_init() {
+  for (u32 i = 0; i < 256; ++i) {
+    u32 c = i;
+    for (int k = 0; k < 8; ++k) c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : c >> 1;
+    crc_table[0][i] = c;
   }
+  for (int t = 1; t < 16; ++t)
+    for (u32 i = 0; i < 256; ++i)
+      crc_table[t][i] = crc_table[0][crc_table[t - 1][i] & 0xFF]
+                        ^ (crc_table[t - 1][i] >> 8);
+  crc_ready = true;
+}
+
+// IEEE 802.3 reflected CRC-32, slice-by-16 (byte-at-a-time is ~0.4 GB/s and
+// sits on the add/verify hot path; the 16-lane table walk reaches >2 GB/s)
+u32 tz_crc32(u32 crc, const u8* data, size_t n) {
+  if (!crc_ready) crc_init();
   crc = ~crc;
+  while (n >= 16) {
+    u32 a, b, c, d;
+    memcpy(&a, data, 4); memcpy(&b, data + 4, 4);
+    memcpy(&c, data + 8, 4); memcpy(&d, data + 12, 4);
+    a ^= crc;
+    crc = crc_table[15][a & 0xFF] ^ crc_table[14][(a >> 8) & 0xFF]
+        ^ crc_table[13][(a >> 16) & 0xFF] ^ crc_table[12][a >> 24]
+        ^ crc_table[11][b & 0xFF] ^ crc_table[10][(b >> 8) & 0xFF]
+        ^ crc_table[9][(b >> 16) & 0xFF] ^ crc_table[8][b >> 24]
+        ^ crc_table[7][c & 0xFF] ^ crc_table[6][(c >> 8) & 0xFF]
+        ^ crc_table[5][(c >> 16) & 0xFF] ^ crc_table[4][c >> 24]
+        ^ crc_table[3][d & 0xFF] ^ crc_table[2][(d >> 8) & 0xFF]
+        ^ crc_table[1][(d >> 16) & 0xFF] ^ crc_table[0][d >> 24];
+    data += 16;
+    n -= 16;
+  }
   for (size_t i = 0; i < n; ++i)
-    crc = crc_table[(crc ^ data[i]) & 0xFF] ^ (crc >> 8);
+    crc = crc_table[0][(crc ^ data[i]) & 0xFF] ^ (crc >> 8);
   return ~crc;
+}
+
+// One-pass file digest for the add pipeline: CDC boundaries + SHA-1 per
+// fragment + whole-file CRC-32/XXH64, all in one GIL-released call (the
+// Python-side version made thousands of per-fragment ctypes calls and
+// sliced a copy of every fragment). Returns fragment count (<= cap).
+// ends: u32[cap] fragment END offsets; sha1s: u8[cap*20].
+size_t tz_digest_file(const u8* data, size_t n, int mean_bits,
+                      u32* ends, size_t cap, u8* sha1s,
+                      u32* crc_out, u64* xxh_out) {
+  size_t count = tz_cdc(data, n, mean_bits, ends, cap);
+  size_t start = 0;
+  for (size_t i = 0; i < count; ++i) {
+    SHA1 s;
+    s.init();
+    s.update(data + start, ends[i] - start);
+    s.final(sha1s + i * 20);
+    start = ends[i];
+  }
+  *crc_out = tz_crc32(0, data, n);
+  *xxh_out = tz_xxh64(data, n, 0);
+  return count;
 }
 
 }  // extern "C"

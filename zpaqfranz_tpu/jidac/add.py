@@ -108,22 +108,56 @@ class _Job:
     data: bytearray
 
 
+_STORE_MODEL = Model(hh=0, hm=0)
+
+
+def _looks_incompressible(payload: bytes) -> bool:
+    """Cheap pre-test: sampled order-0 entropy. The reference's add()
+    measures per-block redundancy and picks the method variant accordingly
+    (zpaq 7.15 behavior, SURVEY.md section 2.4 #30 level semantics); here
+    the decision is store-vs-model for speed levels. ~7.98 bits/byte on
+    samples spread across the block means LZ77 + coder would only burn
+    time to expand it."""
+    n = len(payload)
+    if n < 1 << 16:
+        return False
+    import collections
+    step = max(1, n // (1 << 16))
+    sample = payload[::step][:1 << 16]
+    counts = collections.Counter(sample)
+    if len(counts) < 256:
+        return False
+    m = len(sample)
+    import math
+    ent = -sum(c / m * math.log2(c / m) for c in counts.values())
+    return ent > 7.98
+
+
 def _compress_d_block(model: Optional[Model], pre, job: _Job,
                       date: int) -> bytes:
     comment = b"%d jDC\x01" % len(job.data)
     name = _jdc_name(date, "d", job.first_frag)
     payload = bytes(job.data)
     if pre.transform == 2:   # byte LZ77; the block's PCOMP inverts it
-        payload = native.lz77_encode(
+        if _looks_incompressible(payload):
+            return native.compress_block(_STORE_MODEL, payload, name,
+                                         comment)
+        lz = native.lz77_encode(
             payload, min_match=max(1, pre.min_match),
             depth_log=max(1, pre.depth_log),
             hash_bits=max(12, min(pre.hash_bits or 22, 27)))
+        if len(lz) >= len(payload) - (len(payload) >> 6):
+            # post-test: LZ77 found nothing; store beats modeling the
+            # expanded literal stream
+            return native.compress_block(_STORE_MODEL, payload, name,
+                                         comment)
+        payload = lz
     elif pre.transform == 3:  # BWT; the block's PCOMP inverts it
         payload = native.bwt_encode(payload)
     elif pre.transform == 0 and pre.e8e9:
         payload = native.e8e9_transform(payload)
     if model is None:
-        model = Model(hh=0, hm=0)
+        model = _STORE_MODEL
     return native.compress_block(model, payload, name, comment)
 
 
@@ -204,49 +238,56 @@ def add(archive: str, files: Sequence[str], method: str = "1",
 
     def _digest_file(name: str):
         data = pathlib.Path(name).read_bytes()
-        sums = (native.crc32(data), native.xxh64(data))
-        frags: List[Tuple[bytes, int, int]] = []   # (sha, start, end)
-        start = 0
-        for end in (native.cdc_boundaries(data, fragment_bits)
-                    if data else []):
-            frags.append((native.sha1(data[start:end]), start, end))
-            start = end
-        return data, sums, frags
+        frags, crc, xxh = native.digest_file(data, fragment_bits)
+        return data, (crc, xxh), frags
 
     file_sums: Dict[str, Tuple[int, int]] = {}
-    with _fut.ThreadPoolExecutor(max_workers=hash_threads) as hx:
-        for name, (data, sums, frags) in zip(
-                changed, hx.map(_digest_file, changed)):
-            file_sums[name] = sums
-            ptrs: List[int] = []
-            for sha, start, end in frags:
-                fid = dedup.get(sha)
-                if fid is None:
-                    fid = next_frag
-                    next_frag += 1
-                    dedup[sha] = fid
-                    new_ht.append(HT(sha, end - start))
-                    cur.frags.append((sha, end - start))
-                    cur.data += data[start:end]
-                    if len(cur.data) >= block_cap:
-                        jobs.append(cur)
-                        cur = _Job(first_frag=next_frag, frags=[],
-                                   data=bytearray())
-                ptrs.append(fid)
-            file_ptrs[name] = ptrs
-    if cur.frags:
-        jobs.append(cur)
+    # compression overlaps the digest scan: each d-block job is submitted
+    # the moment it fills (the reference's add() gets the same overlap
+    # from its per-block worker threads, SURVEY.md section 2.8)
+    cx_threads = threads or max(2, min(8, (os.cpu_count() or 4)))
+    cx = _fut.ThreadPoolExecutor(max_workers=cx_threads)
+    d_futs: List["_fut.Future"] = []
+    pipeline_host = not (use_device and model is not None and model.n > 0)
+    try:
+        with _fut.ThreadPoolExecutor(max_workers=hash_threads) as hx:
+            for name, (data, sums, frags) in zip(
+                    changed, hx.map(_digest_file, changed)):
+                file_sums[name] = sums
+                ptrs: List[int] = []
+                for sha, start, end in frags:
+                    fid = dedup.get(sha)
+                    if fid is None:
+                        fid = next_frag
+                        next_frag += 1
+                        dedup[sha] = fid
+                        new_ht.append(HT(sha, end - start))
+                        cur.frags.append((sha, end - start))
+                        cur.data += data[start:end]
+                        if len(cur.data) >= block_cap:
+                            jobs.append(cur)
+                            if pipeline_host:
+                                d_futs.append(cx.submit(
+                                    _compress_d_block, model, pre, cur,
+                                    date))
+                            cur = _Job(first_frag=next_frag, frags=[],
+                                       data=bytearray())
+                    ptrs.append(fid)
+                file_ptrs[name] = ptrs
+        if cur.frags:
+            jobs.append(cur)
+            if pipeline_host:
+                d_futs.append(cx.submit(_compress_d_block, model, pre, cur,
+                                        date))
 
-    # ---- compress d blocks: device lanes or host threads ----
-    if use_device and model is not None and model.n > 0 and jobs:
-        from ..parallel.engine import encode_jidac_blocks
-        d_blocks = encode_jidac_blocks(model, pre, jobs, date, _jdc_name)
-    else:
-        import concurrent.futures
-        threads = threads or min(8, (os.cpu_count() or 4))
-        with concurrent.futures.ThreadPoolExecutor(max_workers=threads) as ex:
-            d_blocks = list(ex.map(
-                lambda j: _compress_d_block(model, pre, j, date), jobs))
+        # ---- compress d blocks: device lanes or pipelined host threads ----
+        if not pipeline_host:
+            from ..parallel.engine import encode_jidac_blocks
+            d_blocks = encode_jidac_blocks(model, pre, jobs, date, _jdc_name)
+        else:
+            d_blocks = [f.result() for f in d_futs]
+    finally:
+        cx.shutdown(wait=False)
 
     # ---- assemble the transaction ----
     out = bytearray()

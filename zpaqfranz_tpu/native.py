@@ -95,6 +95,10 @@ def _load():
     lib.tz_crc32.argtypes = [C.c_uint32, C.c_char_p, C.c_size_t]
     lib.tz_xxh64.restype = C.c_uint64
     lib.tz_xxh64.argtypes = [C.c_char_p, C.c_size_t, C.c_uint64]
+    lib.tz_digest_file.restype = C.c_size_t
+    lib.tz_digest_file.argtypes = [
+        C.c_char_p, C.c_size_t, C.c_int, C.POINTER(C.c_uint32), C.c_size_t,
+        C.c_char_p, C.POINTER(C.c_uint32), C.POINTER(C.c_uint64)]
     lib.tz_md5.argtypes = [C.c_char_p, C.c_size_t, C.c_char_p]
     lib.tz_sha256.argtypes = [C.c_char_p, C.c_size_t, C.c_char_p]
     lib.tz_sha3_256.argtypes = [C.c_char_p, C.c_size_t, C.c_char_p]
@@ -305,6 +309,32 @@ def cdc_boundaries(data: bytes, mean_bits: int = 16) -> List[int]:
     if not out or out[-1] != len(data):
         out.append(len(data))
     return out
+
+
+def digest_file(data: bytes, mean_bits: int = 16
+                ) -> Tuple[List[Tuple[bytes, int, int]], int, int]:
+    """One native pass over a file: CDC + per-fragment SHA-1 + CRC-32 +
+    XXH64. Returns ([(sha1, start, end) per fragment], crc32, xxh64)."""
+    lib = _load()
+    if not data:
+        return [], 0, lib.tz_xxh64(b"", 0, 0)
+    cap = max(16, len(data) // (1 << max(mean_bits - 5, 0)) + 16)
+    ends = (C.c_uint32 * cap)()
+    shas = C.create_string_buffer(cap * 20)
+    crc = C.c_uint32()
+    xxh = C.c_uint64()
+    n = lib.tz_digest_file(data, len(data), mean_bits, ends, cap, shas,
+                           C.byref(crc), C.byref(xxh))
+    frags: List[Tuple[bytes, int, int]] = []
+    start = 0
+    raw = shas.raw
+    for i in range(n):
+        end = ends[i]
+        frags.append((raw[i * 20:(i + 1) * 20], start, end))
+        start = end
+    if start < len(data):
+        frags.append((sha1(data[start:]), start, len(data)))
+    return frags, crc.value, xxh.value
 
 
 def crc32(data: bytes, crc: int = 0) -> int:
