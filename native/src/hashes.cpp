@@ -1016,3 +1016,65 @@ extern "C" void tz_sha256(const u8* data, size_t n, u8* out32) {
     out32[4*k+2] = (u8)(h[k] >> 8); out32[4*k+3] = (u8)h[k];
   }
 }
+
+// ---------------------------------------------------------------------------
+// Nilsimsa: 256-bit locality-sensitive trigram hash (reference lists it in
+// its hasher zoo, man/zpaqfranz.pod:195-202; the implementation lived in the
+// missing zpaqfranz.cpp). Clean-room per the public algorithm: accumulate
+// tran3-mixed trigram counts over a 5-byte sliding window, emit one bit per
+// bucket (count above the expected mean). The 256-entry substitution table
+// is a documented reconstruction: a Fisher-Yates shuffle of 0..255 driven by
+// the classic 53-multiplier LCG (the original table is also a fixed
+// pseudo-random permutation; similarity semantics are preserved, exact
+// digests are implementation-defined).
+// ---------------------------------------------------------------------------
+static u8 nil_tran[256];
+static bool nil_ready = false;
+
+static void nil_init() {
+  for (int i = 0; i < 256; ++i) nil_tran[i] = (u8)i;
+  u32 s = 53;
+  for (int i = 255; i > 0; --i) {
+    s = s * 53 + 1;                 // LCG mod 2^32, documented constants
+    int j = (int)(s % (u32)(i + 1));
+    u8 t = nil_tran[i]; nil_tran[i] = nil_tran[j]; nil_tran[j] = t;
+  }
+  nil_ready = true;
+}
+
+static inline u8 nil_tran3(u8 a, u8 b, u8 c, int n) {
+  return (u8)(((nil_tran[(a + n) & 255] ^ (u8)(nil_tran[b] * (n + n + 1)))
+               + nil_tran[(u8)(c ^ nil_tran[n])]) & 255);
+}
+
+extern "C" void tz_nilsimsa(const u8* data, size_t n, u8* out32) {
+  if (!nil_ready) nil_init();
+  u32 acc[256] = {0};
+  int w0 = -1, w1 = -1, w2 = -1, w3 = -1;   // previous 4 bytes
+  u64 count = 0;
+  for (size_t i = 0; i < n; ++i) {
+    u8 ch = data[i];
+    ++count;
+    if (w1 >= 0) ++acc[nil_tran3(ch, (u8)w0, (u8)w1, 0)];
+    if (w2 >= 0) {
+      ++acc[nil_tran3(ch, (u8)w0, (u8)w2, 1)];
+      ++acc[nil_tran3(ch, (u8)w1, (u8)w2, 2)];
+    }
+    if (w3 >= 0) {
+      ++acc[nil_tran3(ch, (u8)w0, (u8)w3, 3)];
+      ++acc[nil_tran3(ch, (u8)w1, (u8)w3, 4)];
+      ++acc[nil_tran3(ch, (u8)w2, (u8)w3, 5)];
+      ++acc[nil_tran3((u8)w3, (u8)w0, ch, 6)];
+      ++acc[nil_tran3((u8)w3, (u8)w2, ch, 7)];
+    }
+    w3 = w2; w2 = w1; w1 = w0; w0 = ch;
+  }
+  u64 total = 0;
+  if (count == 3) total = 1;
+  else if (count == 4) total = 4;
+  else if (count > 4) total = 8 * count - 28;
+  u64 threshold = total / 256;
+  memset(out32, 0, 32);
+  for (int i = 0; i < 256; ++i)
+    if (acc[i] > threshold) out32[31 - (i >> 3)] |= (u8)(1 << (i & 7));
+}

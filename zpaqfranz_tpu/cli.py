@@ -262,15 +262,21 @@ def _hash_one(algo: str, data: bytes) -> str:
         return native.highway128(data).hex().upper()
     if algo == "highway256":
         return native.highway256(data).hex().upper()
+    if algo in ("zeta", "zetaenc"):
+        # zetaenc hashes the on-disk (possibly encrypted) bytes — for a
+        # plain file the two coincide (reference CHANGELOG.md:444)
+        return f"{native.zeta(data):016X}"
     fn = {"sha1": native.sha1, "sha256": native.sha256,
           "sha3": native.sha3_256, "md5": native.md5,
-          "blake3": native.blake3, "whirlpool": native.whirlpool}[algo]
+          "blake3": native.blake3, "whirlpool": native.whirlpool,
+          "nilsimsa": native.nilsimsa}[algo]
     return fn(data).hex().upper()
 
 
 SUM_ALGOS = ("sha1", "sha256", "sha3", "md5", "blake3", "whirlpool",
              "crc32", "xxhash64", "xxhash", "xx64", "xxh3", "xxh3_64",
-             "wyhash", "highway64", "highway", "highway128", "highway256")
+             "wyhash", "highway64", "highway", "highway128", "highway256",
+             "nilsimsa", "zeta", "zetaenc")
 
 
 def cmd_sum(archive, files, sw) -> int:
@@ -280,16 +286,23 @@ def cmd_sum(archive, files, sw) -> int:
             algo = k
             break
     targets = [archive] + list(files) if archive else files
+    paths = []
     for t in sorted(targets):
         p = pathlib.Path(t)
         if p.is_dir():
-            for sub in sorted(p.rglob("*")):
-                if sub.is_file():
-                    print(f"{_hash_one(algo, sub.read_bytes())}  {sub}")
-            continue
-        if not p.is_file():
-            continue
-        print(f"{_hash_one(algo, p.read_bytes())}  {t}")
+            paths += [s for s in sorted(p.rglob("*")) if s.is_file()]
+        elif p.is_file():
+            paths.append(p)
+    if "tpu" in sw and algo in ("sha1", "sha256"):
+        # batched Pallas kernel: all files hashed as device lanes
+        from .ops import hash_pallas as hpal
+        datas = [p.read_bytes() for p in paths]
+        fn = hpal.sha1_pallas if algo == "sha1" else hpal.sha256_pallas
+        for p, dig in zip(paths, fn(datas, interpret=not hpal.available())):
+            print(f"{dig.hex().upper()}  {p}")
+        return 0
+    for p in paths:
+        print(f"{_hash_one(algo, p.read_bytes())}  {p}")
     return 0
 
 

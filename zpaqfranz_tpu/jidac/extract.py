@@ -194,6 +194,14 @@ def _verify_archive_device(data: bytes, jd: Jidac,
             pieces.extend(res)
 
     pieces = [(j, p) for j, p in pieces if jd.ht[j].sha1 != b"\x00" * 20]
+    from ..ops import hash_pallas as hpal
+    if hpal.available():
+        # Pallas kernel: 1024 lanes per tile step, VPU-bound
+        digests = hpal.sha1_pallas([p for _, p in pieces])
+        for (j, _), dig in zip(pieces, digests):
+            if dig != jd.ht[j].sha1:
+                raise ExtractError(f"fragment {j}: checksum failed")
+        return len(jd.block), len(pieces)
     pieces.sort(key=lambda t: len(t[1]))
     BATCH = 256
     for i in range(0, len(pieces), BATCH):

@@ -104,6 +104,7 @@ def _load():
     lib.tz_sha3_256.argtypes = [C.c_char_p, C.c_size_t, C.c_char_p]
     lib.tz_blake3.argtypes = [C.c_char_p, C.c_size_t, C.c_char_p]
     lib.tz_whirlpool.argtypes = [C.c_char_p, C.c_size_t, C.c_char_p]
+    lib.tz_nilsimsa.argtypes = [C.c_char_p, C.c_size_t, C.c_char_p]
     lib.tz_xxh3_64.restype = C.c_uint64
     lib.tz_xxh3_64.argtypes = [C.c_char_p, C.c_size_t]
     lib.tz_xxh3_128.argtypes = [C.c_char_p, C.c_size_t, C.c_char_p]
@@ -371,6 +372,27 @@ def blake3(data: bytes) -> bytes:
 
 def whirlpool(data: bytes) -> bytes:
     return _fixed_out("tz_whirlpool", data, 64)
+
+
+def nilsimsa(data: bytes) -> bytes:
+    """256-bit locality-sensitive trigram hash (similarity semantics per
+    the public Nilsimsa algorithm; substitution table reconstructed — see
+    native/src/hashes.cpp)."""
+    return _fixed_out("tz_nilsimsa", data, 32)
+
+
+def zeta(data: bytes, chunk: int = 1 << 16) -> int:
+    """ZETA: zpaqfranz's 'pseudo XXHASH64' streaming backup hash
+    (reference CHANGELOG.md:405-407, 440-444 — computed on-the-fly in
+    chunks as parts are written; exact formula lived in the missing
+    source). Reconstruction: XXH64 of the stream of per-chunk XXH64
+    digests, so it can be produced incrementally during writes."""
+    lib = _load()
+    acc = b"".join(
+        lib.tz_xxh64(data[i:i + chunk], min(chunk, len(data) - i), 0)
+        .to_bytes(8, "little")
+        for i in range(0, max(len(data), 1), chunk))
+    return lib.tz_xxh64(acc, len(acc), len(data) & 0xFFFFFFFF)
 
 
 def xxh3_64(data: bytes) -> int:

@@ -1,0 +1,354 @@
+"""Pallas TPU kernels: batched SHA-1 / SHA-256 over thousands of lanes.
+
+The archiver's integrity surfaces are hash-throughput-bound: extract
+verifies every fragment's SHA-1 before writing (reference
+ZSFX/zsfx.cpp:1812-1834), `t`/`v`/`versum` re-hash whole archives, and the
+reference headlines >1-2 GB/s for these paths on NVMe hosts (reference
+README.md:169-171, CHANGELOG.md:894). Hashing is pure uint32 VPU work with
+zero gathers, so it maps onto the TPU at full vector width: each Pallas
+program holds the running (h0..h4) state for an (8, 128) tile of lanes in
+VMEM and scans the lanes' 64-byte blocks in lockstep — 1024 independent
+streams per tile step, grid = (lane_groups, max_blocks).
+
+Layout contract (built by ``pack_lanes``):
+  words:   (G, NB, 16, 8, 128) uint32 — big-endian message words, lane
+           l of group g lives at [g, :, :, l // 128, l % 128]; messages
+           are pre-padded on the host (0x80 + zeros + 64-bit bit length,
+           FIPS 180-4), shorter lanes zero-filled.
+  nblocks: (G, 8, 128) int32 — true block count per lane; blocks past a
+           lane's count leave its state untouched (predicated update).
+  out:     (G, 5|8, 8, 128) uint32 digests.
+
+The compression functions mirror the scalar engine (native/src/hashes.cpp,
+native/src/tzpaq.cpp) and the jnp fallback in ``hash_batched``; all three
+agree bit-exactly, which the test suite checks against hashlib.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+__all__ = ["sha1_pallas", "sha256_pallas", "pack_lanes", "available"]
+
+_LANES = 8 * 128          # lanes per group = one (8, 128) VPU tile
+
+
+def available() -> bool:
+    """True when a TPU backend is present (the kernels also run under
+    interpret=True on CPU for tests, but that path is debug-only)."""
+    try:
+        import jax
+        return jax.default_backend() == "tpu"
+    except Exception:          # pragma: no cover - no jax at all
+        return False
+
+
+_STAGING: dict = {}      # NB -> reused (L_LANES, NB*64) staging buffer
+
+
+def pack_lanes(chunks: Sequence[bytes]) -> Tuple[np.ndarray, np.ndarray]:
+    """Pad + pack byte strings into a contiguous (L_pad, NB*64) uint8
+    matrix (FIPS padding applied per row) plus per-lane block counts
+    (G, 8, 128). The expensive byte->big-endian-word conversion and the
+    lane-tiling transpose run ON DEVICE inside the jitted caller — the
+    host only does row memcpys.
+
+    The staging buffer is REUSED across calls (keyed by block count):
+    fresh multi-hundred-MB allocations cost tens of seconds in
+    fault-expensive sandboxes. Stale bytes beyond a lane's block count
+    are never read by the kernel (predicated off by nblocks), and the
+    gap between a message's 0x80 byte and its length field is zeroed
+    explicitly, so no wholesale clearing is needed."""
+    L = len(chunks)
+    G = max(1, -(-L // _LANES))
+    nblk = np.zeros((G * _LANES,), np.int32)
+    lens = np.array([len(c) for c in chunks], np.int64)
+    if L:
+        nblk[:L] = (lens + 9 + 63) // 64
+    NB = int(nblk.max()) if L else 1
+    key = (G, NB)
+    data = _STAGING.get(key)
+    if data is None:
+        data = np.zeros((G * _LANES, NB * 64), np.uint8)
+        if len(_STAGING) > 8:
+            _STAGING.clear()
+        _STAGING[key] = data
+    for i, c in enumerate(chunks):
+        n = len(c)
+        row = data[i]
+        row[:n] = np.frombuffer(bytes(c), np.uint8)
+        end = nblk[i] * 64
+        row[n:end - 8] = 0
+        row[n] = 0x80
+        bits = np.uint64(n * 8)
+        row[end - 8:end] = np.frombuffer(bits.byteswap().tobytes(), np.uint8)
+    return data, nblk.reshape(G, 8, 128)
+
+
+def _rotl(x, k):
+    import jax.numpy as jnp
+    return (x << np.uint32(k)) | (x >> np.uint32(32 - k))
+
+
+def _sha1_block(h, w):
+    """One SHA-1 compression over (8,128)-tiled lanes. h: 5-tuple, w: list
+    of 16 (8,128) uint32 words."""
+    import jax.numpy as jnp
+    a, b, c, d, e = h
+    w = list(w)
+    for t in range(80):
+        if t >= 16:
+            x = w[(t - 3) & 15] ^ w[(t - 8) & 15] ^ w[(t - 14) & 15] \
+                ^ w[t & 15]
+            w[t & 15] = _rotl(x, 1)
+        wt = w[t & 15]
+        if t < 20:
+            f = (b & c) | (~b & d)
+            k = np.uint32(0x5A827999)
+        elif t < 40:
+            f = b ^ c ^ d
+            k = np.uint32(0x6ED9EBA1)
+        elif t < 60:
+            f = (b & c) | (b & d) | (c & d)
+            k = np.uint32(0x8F1BBCDC)
+        else:
+            f = b ^ c ^ d
+            k = np.uint32(0xCA62C1D6)
+        tmp = _rotl(a, 5) + f + e + k + wt
+        e, d, c, b, a = d, c, _rotl(b, 30), a, tmp
+    h0, h1, h2, h3, h4 = h
+    return (h0 + a, h1 + b, h2 + c, h3 + d, h4 + e)
+
+
+_S256K = np.array([
+    0x428a2f98, 0x71374491, 0xb5c0fbcf, 0xe9b5dba5, 0x3956c25b, 0x59f111f1,
+    0x923f82a4, 0xab1c5ed5, 0xd807aa98, 0x12835b01, 0x243185be, 0x550c7dc3,
+    0x72be5d74, 0x80deb1fe, 0x9bdc06a7, 0xc19bf174, 0xe49b69c1, 0xefbe4786,
+    0x0fc19dc6, 0x240ca1cc, 0x2de92c6f, 0x4a7484aa, 0x5cb0a9dc, 0x76f988da,
+    0x983e5152, 0xa831c66d, 0xb00327c8, 0xbf597fc7, 0xc6e00bf3, 0xd5a79147,
+    0x06ca6351, 0x14292967, 0x27b70a85, 0x2e1b2138, 0x4d2c6dfc, 0x53380d13,
+    0x650a7354, 0x766a0abb, 0x81c2c92e, 0x92722c85, 0xa2bfe8a1, 0xa81a664b,
+    0xc24b8b70, 0xc76c51a3, 0xd192e819, 0xd6990624, 0xf40e3585, 0x106aa070,
+    0x19a4c116, 0x1e376c08, 0x2748774c, 0x34b0bcb5, 0x391c0cb3, 0x4ed8aa4a,
+    0x5b9cca4f, 0x682e6ff3, 0x748f82ee, 0x78a5636f, 0x84c87814, 0x8cc70208,
+    0x90befffa, 0xa4506ceb, 0xbef9a3f7, 0xc67178f2], dtype=np.uint32)
+
+
+def _rotr(x, k):
+    return (x >> np.uint32(k)) | (x << np.uint32(32 - k))
+
+
+def _sha256_block(h, w):
+    a, b, c, d, e, f, g, hh = h
+    w = list(w)
+    for t in range(64):
+        if t >= 16:
+            x15 = w[(t - 15) & 15]
+            x2 = w[(t - 2) & 15]
+            s0 = _rotr(x15, 7) ^ _rotr(x15, 18) ^ (x15 >> np.uint32(3))
+            s1 = _rotr(x2, 17) ^ _rotr(x2, 19) ^ (x2 >> np.uint32(10))
+            w[t & 15] = w[t & 15] + s0 + w[(t - 7) & 15] + s1
+        wt = w[t & 15]
+        S1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
+        ch = (e & f) ^ (~e & g)
+        t1 = hh + S1 + ch + _S256K[t] + wt
+        S0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
+        maj = (a & b) ^ (a & c) ^ (b & c)
+        t2 = S0 + maj
+        hh, g, f, e, d, c, b, a = g, f, e, d + t1, c, b, a, t1 + t2
+    h0 = h
+    return tuple(h0[i] + v for i, v in enumerate((a, b, c, d, e, f, g, hh)))
+
+
+_SHA1_IV = np.array([0x67452301, 0xEFCDAB89, 0x98BADCFE, 0x10325476,
+                     0xC3D2E1F0], dtype=np.uint32)
+_SHA256_IV = np.array([0x6a09e667, 0xbb67ae85, 0x3c6ef372, 0xa54ff53a,
+                       0x510e527f, 0x9b05688c, 0x1f83d9ab, 0x5be0cd19],
+                      dtype=np.uint32)
+
+
+def _make_kernel(nstate: int, block_fn):
+    def kernel(nblk_ref, h_in_ref, w_ref, out_ref, h_ref):
+        import jax.numpy as jnp
+        from jax.experimental import pallas as pl
+        b = pl.program_id(1)
+        nb = pl.num_programs(1)
+
+        @pl.when(b == 0)
+        def _():
+            for i in range(nstate):
+                h_ref[i] = h_in_ref[0, i]
+
+        h = tuple(h_ref[i] for i in range(nstate))
+        w = [w_ref[0, 0, t] for t in range(16)]
+        hn = block_fn(h, w)
+        live = nblk_ref[0] > b            # (8,128) lanes still hashing
+        for i in range(nstate):
+            h_ref[i] = jnp.where(live, hn[i], h[i])
+
+        @pl.when(b == nb - 1)
+        def _():
+            for i in range(nstate):
+                out_ref[0, i] = h_ref[i]
+    return kernel
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: CLI invocations are separate
+    processes, and a cold Mosaic compile costs seconds."""
+    import jax
+    try:
+        if jax.config.jax_compilation_cache_dir is None:
+            import os
+            d = os.path.expanduser("~/.cache/zpaqfranz_tpu/jax")
+            os.makedirs(d, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", d)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              0.5)
+    except Exception:
+        pass
+
+
+@functools.lru_cache(maxsize=16)
+def _build_call(nstate: int, NB: int, interpret: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if not interpret:
+        _enable_compile_cache()
+    block_fn = _sha1_block if nstate == 5 else _sha256_block
+    kernel = _make_kernel(nstate, block_fn)
+
+    def call(data_u8, nblocks, h_in):
+        # device-side prep: bytes -> big-endian u32 words, lanes tiled
+        # (8, 128); XLA does this at HBM speed, the host would not
+        L_pad = data_u8.shape[0]
+        G = L_pad // _LANES
+        w = data_u8.astype(jnp.uint32).reshape(L_pad, NB, 16, 4)
+        w = ((w[..., 0] << 24) | (w[..., 1] << 16) | (w[..., 2] << 8)
+             | w[..., 3])
+        words = w.reshape(G, 8, 128, NB, 16).transpose(0, 3, 4, 1, 2)
+        grid = (G, NB)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 8, 128), lambda g, b: (g, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nstate, 8, 128), lambda g, b: (g, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 16, 8, 128),
+                             lambda g, b: (g, b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, nstate, 8, 128),
+                                   lambda g, b: (g, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((G, nstate, 8, 128), jnp.uint32),
+            scratch_shapes=[pltpu.VMEM((nstate, 8, 128), jnp.uint32)],
+            interpret=interpret,
+        )(nblocks, h_in, words)
+
+    return jax.jit(call)
+
+
+# window ladder (in 64-byte blocks): long messages chain through the
+# kernel in fixed-size windows, so at most len(ladder) kernel shapes are
+# ever compiled per hash type and staging buffers stay bounded
+_WINDOWS = (1024, 256, 32)
+
+
+def _digest_many(chunks: Sequence[bytes], nstate: int,
+                 interpret: bool) -> List[bytes]:
+    import jax
+    if not chunks:
+        return []
+    if interpret:
+        windows = (4, 2)       # tiny shapes for the interpret-mode tests
+    else:
+        windows = _WINDOWS
+    iv = _SHA1_IV if nstate == 5 else _SHA256_IV
+    order = np.argsort([-len(c) for c in chunks], kind="stable")
+    digests = [b""] * len(chunks)
+    for lo in range(0, len(order), _LANES):
+        part = order[lo:lo + _LANES]
+        msgs = [chunks[i] for i in part]
+        lens = np.zeros((_LANES,), np.int64)
+        lens[:len(msgs)] = [len(m) for m in msgs]
+        tb = (lens + 9 + 63) // 64          # total padded blocks per lane
+        tb[len(msgs):] = 0                  # unused lanes never hash
+        # per-lane padding tail: bytes from the last partial block start
+        # through the end of the padded message (0x80 ... bitlen)
+        tails = []
+        for m in msgs:
+            n = len(m)
+            ts = (n // 64) * 64
+            tail = bytearray(int((n + 9 + 63) // 64) * 64 - ts)
+            k = n - ts
+            tail[:k] = m[ts:]
+            tail[k] = 0x80
+            tail[-8:] = (n * 8).to_bytes(8, "big")
+            tails.append(bytes(tail))
+        h = jax.device_put(
+            np.broadcast_to(iv[None, :, None, None],
+                            (1, nstate, 8, 128)).copy())
+        rem = int(tb.max())
+        base = 0                             # blocks consumed so far
+        while rem > 0:
+            W = next((w for w in windows if w <= rem), windows[-1])
+            data = _window_staging(W)
+            a = base * 64
+            b = a + W * 64
+            for i, m in enumerate(msgs):
+                ts = (len(m) // 64) * 64
+                row = data[i]
+                # message body part of this window
+                lo_b, hi_b = a, min(b, ts)
+                if hi_b > lo_b:
+                    row[:hi_b - lo_b] = np.frombuffer(m, np.uint8,
+                                                      hi_b - lo_b, lo_b)
+                # padding-tail part of this window
+                t_end = int(tb[i]) * 64
+                lo_t, hi_t = max(a, ts), min(b, t_end)
+                if hi_t > lo_t:
+                    row[lo_t - a:hi_t - a] = np.frombuffer(
+                        tails[i], np.uint8, hi_t - lo_t, lo_t - ts)
+            nblk = np.clip(tb - base, 0, W).astype(np.int32)
+            call = _build_call(nstate, W, interpret)
+            h = call(jax.device_put(data),
+                     jax.device_put(nblk.reshape(1, 8, 128)), h)
+            base += W
+            rem -= W
+        out = np.asarray(jax.block_until_ready(h))
+        flat = out.transpose(0, 2, 3, 1).reshape(-1, nstate)
+        for lane, src in enumerate(part):
+            digests[src] = flat[lane].astype(">u4").tobytes()
+    return digests
+
+
+_WSTAGE: dict = {}
+
+
+def _window_staging(W: int) -> np.ndarray:
+    buf = _WSTAGE.get(W)
+    if buf is None:
+        buf = np.zeros((_LANES, W * 64), np.uint8)
+        _WSTAGE[W] = buf
+    return buf
+
+
+def sha1_pallas(chunks: Sequence[bytes], interpret: bool = False
+                ) -> List[bytes]:
+    """Batched SHA-1 digests (20 bytes each) on TPU."""
+    return _digest_many(chunks, 5, interpret)
+
+
+def sha256_pallas(chunks: Sequence[bytes], interpret: bool = False
+                  ) -> List[bytes]:
+    """Batched SHA-256 digests (32 bytes each) on TPU."""
+    return _digest_many(chunks, 8, interpret)
