@@ -1239,12 +1239,35 @@ size_t tz_lz77_encode(const u8* in, size_t n, int min_match, int depth_log,
   static thread_local size_t tab_cap = 0;
   if (tab_cap < size_t(rows) * K) {
     free(tab);
-    tab_cap = size_t(rows) * K;
-    tab = (u64*)aligned_alloc(2u << 20, (tab_cap * 8 + (2u << 20) - 1)
+    tab = nullptr;
+    tab_cap = 0;
+    size_t want = size_t(rows) * K;
+    // 2 MiB alignment is a hugepage optimization only; fall back to plain
+    // malloc if the platform rejects it or is out of aligned memory.
+    tab = (u64*)aligned_alloc(2u << 20, (want * 8 + (2u << 20) - 1)
                                         & ~size_t((2u << 20) - 1));
+    if (tab) {
 #ifdef __linux__
-    madvise(tab, tab_cap * 8, MADV_HUGEPAGE);
+      madvise(tab, want * 8, MADV_HUGEPAGE);
 #endif
+    } else {
+      tab = (u64*)malloc(want * 8);
+    }
+    if (!tab) {
+      // OOM: emit a format-valid all-literals stream (runs of <=64 bytes,
+      // header = len-1) so the caller's store-vs-LZ size test kicks in.
+      size_t w = 0;
+      for (size_t i0 = 0; i0 < n;) {
+        size_t l1 = n - i0 > 64 ? 64 : n - i0;
+        if (w < cap) out[w] = u8(l1 - 1);
+        ++w;
+        for (size_t j = 0; j < l1; ++j, ++w)
+          if (w < cap) out[w] = in[i0 + j];
+        i0 += l1;
+      }
+      return w;
+    }
+    tab_cap = want;
   }
   // pos field 0xFFFFFFFF = empty (input blocks are < 4 GiB by format)
   memset(tab, 0xFF, size_t(rows) * K * 8);

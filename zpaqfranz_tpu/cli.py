@@ -293,14 +293,24 @@ def cmd_sum(archive, files, sw) -> int:
             paths += [s for s in sorted(p.rglob("*")) if s.is_file()]
         elif p.is_file():
             paths.append(p)
+    if algo in ("zeta", "zetaenc"):
+        # The reference's ZETA construction lives only in the missing
+        # zpaqfranz.cpp; ours is a documented reconstruction, so digests
+        # are NOT interoperable with zpaqfranz's own zeta output.
+        print("note: zeta digests are a local dialect "
+              "(not bit-compatible with zpaqfranz)")
     if "tpu" in sw and algo in ("sha1", "sha256"):
-        # batched Pallas kernel: all files hashed as device lanes
+        # Batched Pallas kernel: all files hashed as device lanes. Only on
+        # a real TPU — interpret-mode Pallas on CPU is orders of magnitude
+        # slower than the native hashers (ADVICE r1), so without a device
+        # we fall through to the native path below.
         from .ops import hash_pallas as hpal
-        datas = [p.read_bytes() for p in paths]
-        fn = hpal.sha1_pallas if algo == "sha1" else hpal.sha256_pallas
-        for p, dig in zip(paths, fn(datas, interpret=not hpal.available())):
-            print(f"{dig.hex().upper()}  {p}")
-        return 0
+        if hpal.available():
+            datas = [p.read_bytes() for p in paths]
+            fn = hpal.sha1_pallas if algo == "sha1" else hpal.sha256_pallas
+            for p, dig in zip(paths, fn(datas)):
+                print(f"{dig.hex().upper()}  {p}")
+            return 0
     for p in paths:
         print(f"{_hash_one(algo, p.read_bytes())}  {p}")
     return 0
@@ -419,22 +429,30 @@ def cmd_autotest(archive, files, sw) -> int:
 
 
 def cmd_bench(archive, files, sw) -> int:
-    """Quick host benchmark (the reference's 'b' franzomips analog)."""
-    import os as _os
+    """Quick host benchmark (the reference's 'b' franzomips analog).
+
+    Each primitive is warmed once, then timed best-of-3 over a fixed byte
+    budget — a cold single-shot measurement can be off by 1000x under page
+    faults / frequency ramps (ADVICE r1)."""
     import time as _t
     from . import native
     from .codec.methods import make_model
+
+    def best_of(fn, reps: int = 3) -> float:
+        fn()                         # warm caches / allocate tables
+        best = float("inf")
+        for _ in range(reps):
+            t0 = _t.perf_counter()
+            fn()
+            best = min(best, _t.perf_counter() - t0)
+        return best
+
     rng_data = (b"the quick brown fox jumps over the lazy dog " * 3000)
-    t0 = _t.time()
-    native.sha1(rng_data)
-    sha_t = _t.time() - t0
-    t0 = _t.time()
-    native.lz77_encode(rng_data)
-    lz_t = _t.time() - t0
     model, _ = make_model("x4.0ci1")
-    t0 = _t.time()
-    native.compress_block(model, rng_data[:30000], b"b", b"c")
-    cm_t = _t.time() - t0
+    sha_t = best_of(lambda: native.sha1(rng_data))
+    lz_t = best_of(lambda: native.lz77_encode(rng_data))
+    cm_t = best_of(
+        lambda: native.compress_block(model, rng_data[:30000], b"b", b"c"))
     mb = len(rng_data) / 1e6
     print(f"sha1 {mb / sha_t:7.1f} MB/s | lz77 {mb / lz_t:7.1f} MB/s | "
           f"cm-encode {0.03 / cm_t:7.2f} MB/s | "
@@ -996,6 +1014,10 @@ PLAIN_PATH_COMMANDS = {
     "collision", "utf", "cp", "r", "rsync", "z", "rd", "k", "pause",
 }
 
+# commands that need no positional at all (reference: `zpaqfranz autotest`
+# and `zpaqfranz b` run bare, man/zpaqfranz.pod:75-78)
+NO_ARCHIVE_COMMANDS = {"autotest", "b", "bench"}
+
 
 def main(argv: Optional[Sequence[str]] = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
@@ -1010,7 +1032,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         return 2
     # file/dir-oriented commands take plain paths, not archive names
     plain = cmd in PLAIN_PATH_COMMANDS
-    if archive is None and not plain:
+    if archive is None and not plain and cmd not in NO_ARCHIVE_COMMANDS:
         print("missing archive name", file=sys.stderr)
         return 2
     try:

@@ -112,12 +112,13 @@ _STORE_MODEL = Model(hh=0, hm=0)
 
 
 def _looks_incompressible(payload: bytes) -> bool:
-    """Cheap pre-test: sampled order-0 entropy. The reference's add()
-    measures per-block redundancy and picks the method variant accordingly
-    (zpaq 7.15 behavior, SURVEY.md section 2.4 #30 level semantics); here
-    the decision is store-vs-model for speed levels. ~7.98 bits/byte on
-    samples spread across the block means LZ77 + coder would only burn
-    time to expand it."""
+    """Cheap pre-test before LZ77+model: sampled order-0 entropy as the
+    fast gate, then an actual LZ77 probe over a sample window. The entropy
+    test alone misclassifies LZ-redundant high-entropy data (e.g. a random
+    block repeated twice is 8 bits/byte order-0 but halves under LZ77 —
+    ADVICE r1), so high entropy only short-circuits when the LZ probe also
+    finds nothing. The reference's add() measures actual per-block
+    redundancy (zpaq 7.15 behavior, SURVEY.md section 2.4 #30)."""
     n = len(payload)
     if n < 1 << 16:
         return False
@@ -130,7 +131,13 @@ def _looks_incompressible(payload: bytes) -> bool:
     m = len(sample)
     import math
     ent = -sum(c / m * math.log2(c / m) for c in counts.values())
-    return ent > 7.98
+    if ent <= 7.98:
+        return False
+    # High order-0 entropy: confirm with a real (cheap) LZ77 probe over a
+    # contiguous window so long-range duplicates still get compressed.
+    probe = payload[: 1 << 18]
+    lz = native.lz77_encode(probe, min_match=8, depth_log=1, hash_bits=16)
+    return len(lz) >= len(probe) - (len(probe) >> 6)
 
 
 def _compress_d_block(model: Optional[Model], pre, job: _Job,
