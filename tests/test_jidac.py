@@ -173,3 +173,95 @@ def test_detached_index_and_chunked_parts(tmp_path, monkeypatch):
     assert main(["x", "parts_????.zpaq", "-to", "outp"]) == 0
     assert (tmp_path / "outp" / "src" / "a.bin").read_bytes() == \
         (src / "a.bin").read_bytes()
+
+
+def test_autotrim_truncated_tail(tree, tmp_path, monkeypatch):
+    """A crash-truncated final transaction is trimmed off on the next add
+    (reference default auto-trim, CHANGELOG.md:360-376)."""
+    monkeypatch.chdir(tmp_path)
+    arc = tmp_path / "t.zpaq"
+    add(str(arc), ["src"], method="0")
+    clean = arc.read_bytes()
+    (tree / "a.txt").write_bytes(b"changed " * 500)
+    add(str(arc), ["src"], method="0")
+    data = arc.read_bytes()
+    jd = read_archive(data)
+    assert len(jd.ver) == 3
+    # simulate a crash partway through writing transaction 2
+    arc.write_bytes(data[: jd.ver[2].offset + 60])
+    (tree / "new.txt").write_bytes(b"third version")
+    add(str(arc), ["src"], method="0")
+    out = read_archive(arc.read_bytes())
+    assert out.errors == 0                       # tail damage gone
+    assert len(out.ver) == 3                     # v1 + the new transaction
+    res = tmp_path / "res"
+    extract(arc.read_bytes(), out, str(res))
+    assert (res / "src" / "new.txt").read_bytes() == b"third version"
+    assert (res / "src" / "a.txt").read_bytes() == b"changed " * 500
+    # sanity: version 1 content survived the trim byte-for-byte
+    assert arc.read_bytes()[: len(clean)] == clean
+
+
+def test_autotrim_garbage_tail(tree, tmp_path, monkeypatch):
+    """Trailing non-block garbage is cut before appending."""
+    monkeypatch.chdir(tmp_path)
+    arc = tmp_path / "t.zpaq"
+    add(str(arc), ["src"], method="0")
+    good = arc.stat().st_size
+    with open(arc, "ab") as f:
+        f.write(b"\xde\xad\xbe\xef" * 16)
+    (tree / "d.txt").write_bytes(b"more")
+    add(str(arc), ["src"], method="0")
+    jd = read_archive(arc.read_bytes())
+    assert jd.errors == 0 and len(jd.ver) == 3
+    assert jd.ver[2].offset == good              # appended at the clean end
+
+
+def test_notrim_keeps_tail(tree, tmp_path, monkeypatch):
+    """-notrim appends after the damaged tail; skip-and-continue still
+    finds the new transaction behind it."""
+    monkeypatch.chdir(tmp_path)
+    arc = tmp_path / "t.zpaq"
+    add(str(arc), ["src"], method="0")
+    good = arc.stat().st_size
+    with open(arc, "ab") as f:
+        f.write(b"junkjunkjunk")
+    (tree / "d.txt").write_bytes(b"more")
+    add(str(arc), ["src"], method="0", notrim=True)
+    assert arc.read_bytes()[good:good + 12] == b"junkjunkjunk"
+    jd = read_archive(arc.read_bytes())
+    assert len(jd.ver) == 3                      # re-synced past the junk
+    assert "src/d.txt" in jd.dt
+
+
+def test_mid_archive_damage_not_trimmed(tree, tmp_path, monkeypatch):
+    """Damage inside an old transaction must NOT trigger auto-trim (that
+    would destroy the good versions after it)."""
+    monkeypatch.chdir(tmp_path)
+    arc = tmp_path / "t.zpaq"
+    add(str(arc), ["src"], method="0")
+    (tree / "e.txt").write_bytes(b"second txn " * 100)
+    add(str(arc), ["src"], method="0")
+    data = bytearray(arc.read_bytes())
+    jd = read_archive(bytes(data))
+    size = len(data)
+    # corrupt the locator tag of version 1's first block so the whole
+    # block is unreadable (not just a failed checksum)
+    data[jd.ver[1].offset + 2] ^= 0xFF
+    arc.write_bytes(bytes(data))
+    (tree / "f.txt").write_bytes(b"third txn")
+    add(str(arc), ["src"], method="0")
+    out = arc.read_bytes()
+    assert len(out) > size                       # appended, nothing cut
+    jd2 = read_archive(out)
+    assert "src/f.txt" in jd2.dt and "src/e.txt" in jd2.dt
+
+
+def test_tmp_write_rename(tree, tmp_path, monkeypatch):
+    """-tmp creates new archives as <name>.tmp then renames into place."""
+    monkeypatch.chdir(tmp_path)
+    arc = tmp_path / "t.zpaq"
+    add(str(arc), ["src"], method="0", tmp=True)
+    assert arc.exists() and not (tmp_path / "t.zpaq.tmp").exists()
+    jd = read_archive(arc.read_bytes())
+    assert len(jd.ver) == 2

@@ -96,6 +96,21 @@ def _key(sw) -> Optional[str]:
     return None
 
 
+def _use_device(sw) -> bool:
+    """Device coding lanes default ON when a real TPU backend is present
+    (the TPU path is the product, not an opt-in); `-tpu` forces it on
+    anywhere, `-notpu` forces it off."""
+    if "notpu" in sw:
+        return False
+    if "tpu" in sw:
+        return True
+    try:
+        import jax
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def _load_index(archive: str, sw):
     from .jidac.index import read_archive
     data = _read_archive_bytes(archive)
@@ -125,9 +140,10 @@ def cmd_add(archive, files, sw) -> int:
     nfiles, nfrags, nbytes = add(archive, files, method=method,
                                  fragment_bits=frag,
                                  threads=int(sw.get("threads", ["0"])[0]),
-                                 key=_key(sw), use_device="tpu" in sw,
+                                 key=_key(sw), use_device=_use_device(sw),
                                  index_path=sw.get("index", [None])[0],
-                                 chunk=chunk)
+                                 chunk=chunk, notrim="notrim" in sw,
+                                 tmp="tmp" in sw)
     dt = time.time() - t0
     print(f"{nfiles} files added, {nfrags} fragments, "
           f"{_fmt_size(nbytes)} bytes in {dt:.2f}s")
@@ -151,7 +167,7 @@ def cmd_extract(archive, files, sw) -> int:
     t0 = time.time()
     nfiles, nbytes = extract(data, jd, to, patterns=files,
                              threads=int(sw.get("threads", ["0"])[0]),
-                             use_device="tpu" in sw)
+                             use_device=_use_device(sw))
     dt = time.time() - t0
     print(f"{nfiles} files, {_fmt_size(nbytes)} bytes extracted "
           f"in {dt:.2f}s ({nbytes / max(dt, 1e-9) / 1e6:.1f} MB/s)")
@@ -214,7 +230,7 @@ def cmd_test(archive, files, sw) -> int:
     t0 = time.time()
     nblocks, nfrags = verify_archive(
         data, jd, threads=int(sw.get("threads", ["0"])[0]),
-        use_device="tpu" in sw or "ssd" in sw)
+        use_device=_use_device(sw) or "ssd" in sw)
     dt = time.time() - t0
     usize = sum(b.usize for b in jd.block)
     print(f"tested {nblocks} blocks, {nfrags} fragments, "
@@ -577,7 +593,7 @@ def cmd_backup(archive, files, sw) -> int:
     spec = base + "_????????.zpaq"
     method = _method(sw)
     nfiles, nfrags, nbytes = add(spec, files, method=method, key=_key(sw),
-                                 use_device="tpu" in sw)
+                                 use_device=_use_device(sw))
     lines = []
     for p in sorted(glob.glob(spec)):
         d = pathlib.Path(p).read_bytes()

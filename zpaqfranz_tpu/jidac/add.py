@@ -174,14 +174,22 @@ def add(archive: str, files: Sequence[str], method: str = "1",
         key: Optional[str] = None,
         use_device: bool = False,
         index_path: Optional[str] = None,
-        chunk: int = 0) -> Tuple[int, int, int]:
+        chunk: int = 0,
+        notrim: bool = False,
+        tmp: bool = False) -> Tuple[int, int, int]:
     """Append one transaction. Returns (files added, frags added, bytes).
 
     index_path: also append the transaction's c/h/i blocks (no d data) to
     a detached index file (reference -index, CHANGELOG.md:687-717) so
     list/sync/dedup work without reading the archive back.
     chunk: with a multipart spec, cap each written part at this many
-    bytes (reference -chunk fixed-size parts, CHANGELOG.md:922-927)."""
+    bytes (reference -chunk fixed-size parts, CHANGELOG.md:922-927).
+    notrim: keep a trailing incomplete transaction instead of truncating
+    it before appending (reference default auto-trim, CHANGELOG.md:360-376).
+    tmp: create new files as <name>.tmp then rename into place
+    (reference -tmp write-then-rename, CHANGELOG.md:357-359; appends to an
+    existing archive stay in-place — crash safety there comes from the
+    transactional format + auto-trim)."""
     from ..codec import crypto
     parts, part_namer = expand_parts(archive)
     multipart = part_namer is not None
@@ -197,8 +205,31 @@ def add(archive: str, files: Sequence[str], method: str = "1",
         else:
             salt = crypto.new_salt()
             plain = b""
+    trimmed = 0
     if plain:
         jd = read_archive(plain)
+        if not notrim and not multipart:
+            # Auto-trim of a trailing bad transaction (reference default,
+            # CHANGELOG.md:360-376). Three damage shapes:
+            #  - trailing non-block garbage: csize stops short of the end
+            #  - truncated/garbled tail blocks: the error consumed the
+            #    rest of the stream; cut at the first error IF everything
+            #    before it is clean (mid-archive damage is NOT trimmed —
+            #    skip-and-continue already read past it)
+            #  - a half-written transaction (c/d/h landed, i did not):
+            #    drop the dangling version entirely
+            cut = min(jd.csize, len(plain))
+            if jd.errors and 0 <= jd.first_error < cut:
+                probe = read_archive(plain[:jd.first_error])
+                if probe.errors == 0 and probe.csize == jd.first_error:
+                    cut, jd = jd.first_error, probe
+            while (len(jd.ver) > 1 and jd.ver[-1].csize >= 0
+                   and jd.ver[-1].updates == 0 and jd.ver[-1].deletes == 0):
+                cut = jd.ver[-1].offset
+                jd = read_archive(plain[:cut])
+            if cut < len(plain):
+                trimmed = len(plain) - cut
+                plain = plain[:cut]
     elif index_path and pathlib.Path(index_path).exists():
         # remote-archive mode: dedup against the detached index alone
         jd = read_archive(pathlib.Path(index_path).read_bytes())
@@ -338,13 +369,14 @@ def add(archive: str, files: Sequence[str], method: str = "1",
     out += iblk
     ix += iblk
 
+    # on-disk append offset: past the salt header, minus any trimmed tail
+    disk_end = len(existing) - trimmed
     if key is not None:
         if not existing:
             payload = salt + crypto.encrypt_append(bytes(out), key, salt,
                                                    crypto.SALT_LEN)
         else:
-            payload = crypto.encrypt_append(bytes(out), key, salt,
-                                            len(existing))
+            payload = crypto.encrypt_append(bytes(out), key, salt, disk_end)
     else:
         payload = bytes(out)
     if multipart:
@@ -357,8 +389,18 @@ def add(archive: str, files: Sequence[str], method: str = "1",
         for k, piece in enumerate(pieces):
             with open(part_namer(len(parts) + 1 + k), "wb") as f:
                 f.write(piece)
+    elif not path.exists():
+        if tmp:
+            tpath = path.with_name(path.name + ".tmp")
+            tpath.write_bytes(payload)
+            tpath.replace(path)
+        else:
+            path.write_bytes(payload)
     else:
-        with open(path, "ab") as f:
+        with open(path, "r+b") as f:
+            if trimmed:
+                f.truncate(disk_end)
+            f.seek(0, 2)
             f.write(payload)
     if index_path:
         from .index import INDEX_MAGIC, INDEX_HEADER_LEN

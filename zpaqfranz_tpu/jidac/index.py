@@ -108,6 +108,7 @@ class Jidac:
     ver: List[VER] = field(default_factory=lambda: [VER()])
     csize: int = 0            # end of indexed data
     errors: int = 0
+    first_error: int = -1     # offset of the first damaged block (or -1)
     is_index: bool = False    # detached index (no d blocks present)
 
     def file_size(self, name: str) -> int:
@@ -180,114 +181,131 @@ def read_archive(data: bytes, until: Optional[int] = None,
             try:
                 segs = stream.read_block()
             except native.NativeError:
+                # Per-block error isolation (reference skip-and-continue,
+                # zsfx.cpp:1596-1602): the native reader already consumed
+                # the damaged block's tag, so the next read_block re-syncs
+                # at the following locator tag. Only the bad block is lost.
                 jd.errors += 1
-                break
+                if jd.first_error < 0:
+                    jd.first_error = block_offset
+                if stream.tell() <= block_offset:
+                    break            # no forward progress: stop, not spin
+                continue
             if segs is None:
                 break
             streaming_first = True
-            for seg in segs:
-                meta = _parse_jdc_name(seg.filename)
-                is_jdc = seg.comment.endswith(b" jDC\x01") and meta
-                if is_jdc:
-                    fdate, t, num = meta
-                    if t == "c":
-                        if len(seg.data) < 8:
-                            raise ArchiveError("c block too small")
-                        data_offset = stream.tell()
-                        jmp = struct.unpack("<q", seg.data[:8])[0]
-                        rollback = jmp < 0
-                        if until is not None:
-                            if until < 19000000000000:
-                                rollback |= len(jd.ver) > until
-                            else:
-                                rollback |= until < fdate
-                        if rollback:
-                            done = True
-                            break
-                        v = VER(date=fdate, lastdate=fdate,
-                                offset=block_offset, data_offset=data_offset,
-                                csize=jmp, firstFragment=len(jd.ht))
-                        jd.ver.append(v)
-                        if jmp:
-                            if not index_mode:
-                                stream.seek(data_offset + jmp)
-                        break  # c blocks have one segment
-                    elif t == "h":
-                        v = jd.ver[-1]
-                        if fdate > v.lastdate:
-                            v.lastdate = fdate
-                        body = seg.data
-                        if len(body) % 24 != 4:
-                            raise ArchiveError("bad h block size")
-                        n = (len(body) - 4) // 24
-                        bsize = struct.unpack("<I", body[:4])[0]
-                        blk = Block(start=num, offset=data_offset,
-                                    bsize=bsize, frags=n)
-                        for i in range(n):
-                            off = 4 + i * 24
-                            sha1 = body[off:off + 20]
-                            usize = struct.unpack(
-                                "<I", body[off + 20:off + 24])[0]
-                            while len(jd.ht) <= num + i:
-                                jd.ht.append(HT())
-                            jd.ht[num + i] = HT(sha1, usize)
-                            blk.usize += usize
-                        jd.block.append(blk)
-                        data_offset += bsize
-                    elif t == "i":
-                        v = jd.ver[-1]
-                        if fdate > v.lastdate:
-                            v.lastdate = fdate
-                        body = seg.data
-                        p = 0
-                        while p + 9 <= len(body):
-                            date = struct.unpack("<q", body[p:p + 8])[0]
-                            p += 8
-                            end = body.index(0, p)
-                            fn = body[p:end].decode("utf-8", "replace")
-                            fn = fn.replace("\\", "/")
-                            p = end + 1
-                            dtr = DT(date=date)
-                            if date:
-                                v.updates += 1
-                                na = struct.unpack("<I", body[p:p + 4])[0]
-                                p += 4
-                                attr = 0
-                                for i in range(na):
-                                    if i < 8:
-                                        attr |= body[p + i] << (i * 8)
-                                dtr.attr_raw = bytes(body[p:p + na])
-                                p += na
-                                dtr.attr = attr
-                                ni = struct.unpack("<I", body[p:p + 4])[0]
-                                p += 4
-                                dtr.ptr = list(struct.unpack(
-                                    f"<{ni}I", body[p:p + 4 * ni]))
-                                p += 4 * ni
-                            else:
-                                v.deletes += 1
-                            jd.dt[fn] = dtr
-                    else:  # 'd' reached directly: tolerated, ignored
-                        pass
-                else:
-                    # streaming (non-jidac) block: one HT entry per segment
-                    if len(jd.ver) == 1:
-                        jd.ver.append(VER(offset=block_offset, csize=-1,
-                                          firstFragment=len(jd.ht)))
-                    fn = seg.filename.decode("utf-8", "replace") or "(last)"
-                    fn = fn.replace("\\", "/")
-                    dtr = jd.dt.setdefault(fn, DT())
-                    if seg.filename or streaming_first:
-                        dtr.date = jd.ver[-1].date or 1
-                        dtr.ptr = []
-                        jd.ver[-1].updates += 1
-                    dtr.ptr.append(len(jd.ht))
-                    if not jd.block or streaming_first:
-                        jd.block.append(Block(start=len(jd.ht),
-                                              offset=block_offset))
-                    jd.ht.append(HT(seg.sha1 or b"\x00" * 20, len(seg.data)))
-                    jd.ht[-1].usize = len(seg.data)
-                streaming_first = False
+            try:
+                for seg in segs:
+                    meta = _parse_jdc_name(seg.filename)
+                    is_jdc = seg.comment.endswith(b" jDC\x01") and meta
+                    if is_jdc:
+                        fdate, t, num = meta
+                        if t == "c":
+                            if len(seg.data) < 8:
+                                raise ArchiveError("c block too small")
+                            data_offset = stream.tell()
+                            jmp = struct.unpack("<q", seg.data[:8])[0]
+                            rollback = jmp < 0
+                            if until is not None:
+                                if until < 19000000000000:
+                                    rollback |= len(jd.ver) > until
+                                else:
+                                    rollback |= until < fdate
+                            if rollback:
+                                done = True
+                                break
+                            v = VER(date=fdate, lastdate=fdate,
+                                    offset=block_offset, data_offset=data_offset,
+                                    csize=jmp, firstFragment=len(jd.ht))
+                            jd.ver.append(v)
+                            if jmp:
+                                if not index_mode:
+                                    stream.seek(data_offset + jmp)
+                            break  # c blocks have one segment
+                        elif t == "h":
+                            v = jd.ver[-1]
+                            if fdate > v.lastdate:
+                                v.lastdate = fdate
+                            body = seg.data
+                            if len(body) % 24 != 4:
+                                raise ArchiveError("bad h block size")
+                            n = (len(body) - 4) // 24
+                            bsize = struct.unpack("<I", body[:4])[0]
+                            blk = Block(start=num, offset=data_offset,
+                                        bsize=bsize, frags=n)
+                            for i in range(n):
+                                off = 4 + i * 24
+                                sha1 = body[off:off + 20]
+                                usize = struct.unpack(
+                                    "<I", body[off + 20:off + 24])[0]
+                                while len(jd.ht) <= num + i:
+                                    jd.ht.append(HT())
+                                jd.ht[num + i] = HT(sha1, usize)
+                                blk.usize += usize
+                            jd.block.append(blk)
+                            data_offset += bsize
+                        elif t == "i":
+                            v = jd.ver[-1]
+                            if fdate > v.lastdate:
+                                v.lastdate = fdate
+                            body = seg.data
+                            p = 0
+                            while p + 9 <= len(body):
+                                date = struct.unpack("<q", body[p:p + 8])[0]
+                                p += 8
+                                end = body.index(0, p)
+                                fn = body[p:end].decode("utf-8", "replace")
+                                fn = fn.replace("\\", "/")
+                                p = end + 1
+                                dtr = DT(date=date)
+                                if date:
+                                    v.updates += 1
+                                    na = struct.unpack("<I", body[p:p + 4])[0]
+                                    p += 4
+                                    attr = 0
+                                    for i in range(na):
+                                        if i < 8:
+                                            attr |= body[p + i] << (i * 8)
+                                    dtr.attr_raw = bytes(body[p:p + na])
+                                    p += na
+                                    dtr.attr = attr
+                                    ni = struct.unpack("<I", body[p:p + 4])[0]
+                                    p += 4
+                                    dtr.ptr = list(struct.unpack(
+                                        f"<{ni}I", body[p:p + 4 * ni]))
+                                    p += 4 * ni
+                                else:
+                                    v.deletes += 1
+                                jd.dt[fn] = dtr
+                        else:  # 'd' reached directly: tolerated, ignored
+                            pass
+                    else:
+                        # streaming (non-jidac) block: one HT entry per segment
+                        if len(jd.ver) == 1:
+                            jd.ver.append(VER(offset=block_offset, csize=-1,
+                                              firstFragment=len(jd.ht)))
+                        fn = seg.filename.decode("utf-8", "replace") or "(last)"
+                        fn = fn.replace("\\", "/")
+                        dtr = jd.dt.setdefault(fn, DT())
+                        if seg.filename or streaming_first:
+                            dtr.date = jd.ver[-1].date or 1
+                            dtr.ptr = []
+                            jd.ver[-1].updates += 1
+                        dtr.ptr.append(len(jd.ht))
+                        if not jd.block or streaming_first:
+                            jd.block.append(Block(start=len(jd.ht),
+                                                  offset=block_offset))
+                        jd.ht.append(HT(seg.sha1 or b"\x00" * 20, len(seg.data)))
+                        jd.ht[-1].usize = len(seg.data)
+                    streaming_first = False
+            except (ArchiveError, ValueError, IndexError,
+                    struct.error) as _e:
+                # damaged segment body: isolate to this block and move
+                # on (reference per-block catch, zsfx.cpp:1596-1602)
+                jd.errors += 1
+                if jd.first_error < 0:
+                    jd.first_error = block_offset
+                continue
         jd.csize = block_offset
     finally:
         stream.close()
