@@ -111,58 +111,17 @@ class _Job:
 _STORE_MODEL = Model(hh=0, hm=0)
 
 
-def _looks_incompressible(payload: bytes) -> bool:
-    """Cheap pre-test before LZ77+model: sampled order-0 entropy as the
-    fast gate, then an actual LZ77 probe over a sample window. The entropy
-    test alone misclassifies LZ-redundant high-entropy data (e.g. a random
-    block repeated twice is 8 bits/byte order-0 but halves under LZ77 —
-    ADVICE r1), so high entropy only short-circuits when the LZ probe also
-    finds nothing. The reference's add() measures actual per-block
-    redundancy (zpaq 7.15 behavior, SURVEY.md section 2.4 #30)."""
-    n = len(payload)
-    if n < 1 << 16:
-        return False
-    import collections
-    step = max(1, n // (1 << 16))
-    sample = payload[::step][:1 << 16]
-    counts = collections.Counter(sample)
-    if len(counts) < 256:
-        return False
-    m = len(sample)
-    import math
-    ent = -sum(c / m * math.log2(c / m) for c in counts.values())
-    if ent <= 7.98:
-        return False
-    # High order-0 entropy: confirm with a real (cheap) LZ77 probe over a
-    # contiguous window so long-range duplicates still get compressed.
-    probe = payload[: 1 << 18]
-    lz = native.lz77_encode(probe, min_match=8, depth_log=1, hash_bits=16)
-    return len(lz) >= len(probe) - (len(probe) >> 6)
-
-
 def _compress_d_block(model: Optional[Model], pre, job: _Job,
                       date: int) -> bytes:
+    """Host-path d-block compression: the same prepare_payload decision
+    as the device lanes (parallel/engine.py), coded by the native engine."""
+    from ..parallel.engine import prepare_payload
     comment = b"%d jDC\x01" % len(job.data)
     name = _jdc_name(date, "d", job.first_frag)
-    payload = bytes(job.data)
-    if pre.transform == 2:   # byte LZ77; the block's PCOMP inverts it
-        if _looks_incompressible(payload):
-            return native.compress_block(_STORE_MODEL, payload, name,
-                                         comment)
-        lz = native.lz77_encode(
-            payload, min_match=max(1, pre.min_match),
-            depth_log=max(1, pre.depth_log),
-            hash_bits=max(12, min(pre.hash_bits or 22, 27)))
-        if len(lz) >= len(payload) - (len(payload) >> 6):
-            # post-test: LZ77 found nothing; store beats modeling the
-            # expanded literal stream
-            return native.compress_block(_STORE_MODEL, payload, name,
-                                         comment)
-        payload = lz
-    elif pre.transform == 3:  # BWT; the block's PCOMP inverts it
-        payload = native.bwt_encode(payload)
-    elif pre.transform == 0 and pre.e8e9:
-        payload = native.e8e9_transform(payload)
+    raw = bytes(job.data)
+    payload, store = prepare_payload(pre, raw)
+    if store:
+        return native.compress_block(_STORE_MODEL, raw, name, comment)
     if model is None:
         model = _STORE_MODEL
     return native.compress_block(model, payload, name, comment)

@@ -168,18 +168,59 @@ def decode_jidac_blocks(data: bytes, jd, blocks,
     return out
 
 
-def transform_payload(pre, payload: bytes) -> bytes:
-    """Apply the method's preprocessor (host side)."""
+def looks_incompressible(payload: bytes) -> bool:
+    """Cheap pre-test before LZ77+model: sampled order-0 entropy as the
+    fast gate, then an actual LZ77 probe over a sample window. The entropy
+    test alone misclassifies LZ-redundant high-entropy data (e.g. a random
+    block repeated twice is 8 bits/byte order-0 but halves under LZ77 —
+    ADVICE r1), so high entropy only short-circuits when the LZ probe also
+    finds nothing. The reference's add() measures actual per-block
+    redundancy (zpaq 7.15 behavior, SURVEY.md section 2.4 #30)."""
+    n = len(payload)
+    if n < 1 << 16:
+        return False
+    import collections
+    step = max(1, n // (1 << 16))
+    sample = payload[::step][:1 << 16]
+    counts = collections.Counter(sample)
+    if len(counts) < 256:
+        return False
+    m = len(sample)
+    ent = -sum(c / m * math.log2(c / m) for c in counts.values())
+    if ent <= 7.98:
+        return False
+    # High order-0 entropy: confirm with a real (cheap) LZ77 probe over a
+    # contiguous window so long-range duplicates still get compressed.
+    probe = payload[: 1 << 18]
+    lz = native.lz77_encode(probe, min_match=8, depth_log=1, hash_bits=16)
+    return len(lz) >= len(probe) - (len(probe) >> 6)
+
+
+def prepare_payload(pre, payload: bytes) -> Tuple[bytes, bool]:
+    """Apply the method's preprocessor (host side).
+
+    Returns ``(bytes_to_code, store)``. ``store=True`` means the adaptive
+    store decision fired: the ORIGINAL payload should be written as a raw
+    store block instead of modeling the transformed stream (the reference's
+    per-block redundancy test; identical on host and device paths so both
+    produce the same archive bytes)."""
     if pre.transform == 2:
-        return native.lz77_encode(
+        if looks_incompressible(payload):
+            return payload, True
+        lz = native.lz77_encode(
             payload, min_match=max(1, pre.min_match),
             depth_log=max(1, pre.depth_log),
             hash_bits=max(12, min(pre.hash_bits or 22, 27)))
+        if len(lz) >= len(payload) - (len(payload) >> 6):
+            # post-test: LZ77 found nothing; store beats modeling the
+            # expanded literal stream
+            return payload, True
+        return lz, False
     if pre.transform == 3:
-        return native.bwt_encode(payload)
+        return native.bwt_encode(payload), False
     if pre.transform == 0 and pre.e8e9:
-        return native.e8e9_transform(payload)
-    return payload
+        return native.e8e9_transform(payload), False
+    return payload, False
 
 
 def assemble_block(model: Model, coded: bytes, name: bytes, comment: bytes,
@@ -203,16 +244,37 @@ def assemble_block(model: Model, coded: bytes, name: bytes, comment: bytes,
     return bytes(out)
 
 
+_STORE_MODEL = Model(hh=0, hm=0)
+
+
 def encode_jidac_blocks(model: Model, pre, jobs, date: int,
                         jdc_name) -> List[bytes]:
-    """Compress jidac d-block jobs as device lanes; returns framed blocks."""
+    """Compress jidac d-block jobs as device lanes; returns framed blocks.
+
+    Adaptive store runs per job with the same decision function as the
+    host path (prepare_payload), so device adds and host adds of the same
+    tree produce the same archive bytes: store-chosen jobs become raw
+    store blocks (host native — no modeling work exists for them), the
+    rest are arithmetic-coded as device lanes."""
     blob = model.pcomp_bytes()
     prefix = (b"\x01" + blob) if blob else b"\x00"
-    payloads = [prefix + transform_payload(pre, bytes(j.data)) for j in jobs]
-    coded = device_coder().encode_streams(model, payloads)
-    out = []
-    for job, c in zip(jobs, coded):
+    out: List[Optional[bytes]] = [None] * len(jobs)
+    lane_idx: List[int] = []
+    payloads: List[bytes] = []
+    for i, job in enumerate(jobs):
+        raw = bytes(job.data)
+        payload, store = prepare_payload(pre, raw)
         name = jdc_name(date, "d", job.first_frag)
-        comment = b"%d jDC\x01" % len(job.data)
-        out.append(assemble_block(model, c, name, comment))
-    return out
+        comment = b"%d jDC\x01" % len(raw)
+        if store:
+            out[i] = native.compress_block(_STORE_MODEL, raw, name, comment)
+        else:
+            lane_idx.append(i)
+            payloads.append(prefix + payload)
+    if payloads:
+        coded = device_coder().encode_streams(model, payloads)
+        for i, c in zip(lane_idx, coded):
+            name = jdc_name(date, "d", jobs[i].first_frag)
+            comment = b"%d jDC\x01" % len(jobs[i].data)
+            out[i] = assemble_block(model, c, name, comment)
+    return out  # type: ignore[return-value]
