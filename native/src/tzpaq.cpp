@@ -1206,11 +1206,24 @@ extern "C" size_t tz_bwt_encode(const u8* in, size_t n, u8* out, size_t cap) {
 
 extern "C" {  // resume C ABI
 
-// Byte-aligned LZ77 encoder (the reference's "level 2" stream format,
-// libzpaq.cpp:6211-6222 comment):
+// LZ77 encoder for both reference stream formats (libzpaq.cpp:6211-6222):
+//
+// fmt=2, byte-aligned ("level 2"):
 //   00xxxxxx                      x+1 (1..64) literal bytes follow
 //   yyxxxxxx off[y+1] (y=1..3)    match length x+minMatch, offset bytes
 //                                 MSB-first, encoded offset = off-1
+//
+// fmt=1, bit-packed ("level 1", the -m1 fast path): variable-length codes
+// packed LSB-first into bytes (libzpaq.cpp putb, 6172-6180):
+//   00,gamma(lit),L[lit*8]        literal run (interleaved Elias gamma:
+//                                 leading 1 implied, each further bit
+//                                 preceded by a 1 flag, terminated by 0)
+//   mm,mmm,gamma(len>>2),len&3,r[rb],q[lo]
+//                                 match: lo = 8*mm+mmm-8 (0..23), encoded
+//                                 offset off' = off + (1<<rb) - 1 written
+//                                 as low rb bits (r) then off'>>rb in lo
+//                                 bits with an implied leading 1 (q)
+//
 // Match finding: greedy hash-chain search over 4-byte contexts with a
 // documented-compatible score (len*8 - lg(dist) - small constants). The
 // format is exact (the stored PCOMP program must invert it); the parse is
@@ -1221,8 +1234,13 @@ static int ilog2(u32 x) {
   return r;
 }
 
-size_t tz_lz77_encode(const u8* in, size_t n, int min_match, int depth_log,
-                      int hash_bits, u8* out, size_t cap) {
+// floor(log2(x)) + 1, the reference's lg() (libzpaq.cpp:6233-6243)
+static int lg32(u32 x) { return x ? ilog2(x) + 1 : 0; }
+
+static size_t lz77_core(const u8* in, size_t n, int fmt, int min_match,
+                        int depth_log, int hash_bits, int rb,
+                        u8* out, size_t cap) {
+  if (fmt == 1 && min_match < 4) min_match = 4;  // format needs len >= 4
   // Match finder: K-way bucketed hash table, one u64 per candidate =
   // (first 4 bytes as a tag << 32 | position). Tags make failed probes
   // touch ONLY the row's 1-2 cache lines, never the input: scattered
@@ -1254,16 +1272,36 @@ size_t tz_lz77_encode(const u8* in, size_t n, int min_match, int depth_log,
       tab = (u64*)malloc(want * 8);
     }
     if (!tab) {
-      // OOM: emit a format-valid all-literals stream (runs of <=64 bytes,
-      // header = len-1) so the caller's store-vs-LZ size test kicks in.
+      // OOM: emit a format-valid all-literals stream so the caller's
+      // store-vs-LZ size test kicks in. fmt=2: runs of <=64 bytes with a
+      // len-1 header. fmt=1: one gamma-coded literal run, bit-packed.
       size_t w = 0;
-      for (size_t i0 = 0; i0 < n;) {
-        size_t l1 = n - i0 > 64 ? 64 : n - i0;
-        if (w < cap) out[w] = u8(l1 - 1);
-        ++w;
-        for (size_t j = 0; j < l1; ++j, ++w)
-          if (w < cap) out[w] = in[i0 + j];
-        i0 += l1;
+      if (fmt == 2) {
+        for (size_t i0 = 0; i0 < n;) {
+          size_t l1 = n - i0 > 64 ? 64 : n - i0;
+          if (w < cap) out[w] = u8(l1 - 1);
+          ++w;
+          for (size_t j = 0; j < l1; ++j, ++w)
+            if (w < cap) out[w] = in[i0 + j];
+          i0 += l1;
+        }
+      } else if (n) {
+        u64 bits = 0;
+        int nb = 0;
+        auto pb = [&](u32 x, int k) {
+          bits |= u64(x & ((1u << k) - 1)) << nb;
+          nb += k;
+          while (nb > 7) {
+            if (w < cap) out[w] = u8(bits);
+            ++w; bits >>= 8; nb -= 8;
+          }
+        };
+        pb(0, 2);
+        int ll = lg32(u32(n)) - 1;
+        while (--ll >= 0) { pb(1, 1); pb((u32(n) >> ll) & 1, 1); }
+        pb(0, 1);
+        for (size_t j = 0; j < n; ++j) pb(in[j], 8);
+        if (nb > 0) { if (w < cap) out[w] = u8(bits); ++w; }
       }
       return w;
     }
@@ -1273,6 +1311,14 @@ size_t tz_lz77_encode(const u8* in, size_t n, int min_match, int depth_log,
   memset(tab, 0xFF, size_t(rows) * K * 8);
   size_t w = 0;                 // write pos
   auto put = [&](u8 c) { if (w < cap) out[w] = c; ++w; };
+  // fmt=1 bit packer (reference putb semantics: LSB-first within bytes)
+  u64 bbits = 0;
+  int bnb = 0;
+  auto putb = [&](u32 x, int k) {
+    bbits |= u64(k >= 32 ? x : (x & ((1u << k) - 1))) << bnb;
+    bnb += k;
+    while (bnb > 7) { put(u8(bbits)); bbits >>= 8; bnb -= 8; }
+  };
   auto read4 = [&](size_t i) -> u32 {
     u32 x; memcpy(&x, in + i, 4); return x;
   };
@@ -1280,15 +1326,42 @@ size_t tz_lz77_encode(const u8* in, size_t n, int min_match, int depth_log,
   size_t i = 0, lit_start = 0;
   auto flush_literals = [&](size_t upto) {
     size_t lit = upto - lit_start;
-    while (lit > 0) {
-      size_t l1 = lit > 64 ? 64 : lit;
-      put(u8(l1 - 1));
-      for (size_t j = upto - lit; j < upto - lit + l1; ++j) put(in[j]);
-      lit -= l1;
+    if (fmt == 1) {
+      // 00, interleaved gamma of lit, then lit raw bytes (reference
+      // write_literal level 1, libzpaq.cpp:6466-6478)
+      if (lit >= 1) {
+        putb(0, 2);
+        int ll = lg32(u32(lit)) - 1;
+        while (--ll >= 0) { putb(1, 1); putb((u32(lit) >> ll) & 1, 1); }
+        putb(0, 1);
+        for (size_t j = upto - lit; j < upto; ++j) putb(in[j], 8);
+      }
+    } else {
+      while (lit > 0) {
+        size_t l1 = lit > 64 ? 64 : lit;
+        put(u8(l1 - 1));
+        for (size_t j = upto - lit; j < upto - lit + l1; ++j) put(in[j]);
+        lit -= l1;
+      }
     }
     lit_start = upto;
   };
   auto emit_match = [&](size_t len, size_t off) {
+    if (fmt == 1) {
+      // mm,mmm,gamma(len>>2),len&3,r,q (reference write_match level 1,
+      // libzpaq.cpp:6494-6516); len >= 4 guaranteed by min_match
+      int ll = lg32(u32(len)) - 1;
+      off += (size_t(1) << rb) - 1;
+      int lo = lg32(u32(off)) - 1 - rb;
+      putb(u32(lo + 8) >> 3, 2);            // mm
+      putb(u32(lo) & 7, 3);                 // mmm
+      while (--ll >= 2) { putb(1, 1); putb((u32(len) >> ll) & 1, 1); }
+      putb(0, 1);
+      putb(u32(len) & 3, 2);                // ll
+      putb(u32(off), rb);                   // r (low rb bits)
+      putb(u32(off >> rb), lo);             // q (implied leading 1)
+      return;
+    }
     --off;
     while (len > 0) {
       size_t mm = size_t(min_match);
@@ -1309,7 +1382,7 @@ size_t tz_lz77_encode(const u8* in, size_t n, int min_match, int depth_log,
   // word-wide match extension (little-endian load + ctz on the xor)
   auto match_len = [&](size_t cand, size_t pos) -> size_t {
     size_t lim = n - pos;
-    if (lim > 4096) lim = 4096;
+    if (lim > 65536) lim = 65536;   // ~reference maxMatch (BUFSIZE*3)
     size_t l = 0;
     while (l + 8 <= lim) {
       uint64_t a, b;
@@ -1343,7 +1416,17 @@ size_t tz_lz77_encode(const u8* in, size_t n, int min_match, int depth_log,
         {
           size_t l = match_len(cand, i);
           size_t off = i - cand;
-          int extra = (off >= (1u << 16)) + (off >= (1u << 24));
+          // fmt=1 cannot code offsets >= 2^(24+rb) (lo caps at 23,
+          // libzpaq.cpp:6505); such candidates only appear if the caller
+          // passes an rb smaller than the block size calls for
+          if (fmt == 1
+              && off > (size_t(1) << (24 + rb)) - (size_t(1) << rb))
+            continue;
+          // fmt=2 pays 1-2 extra offset bytes at 64K/16M (reference gating
+          // libzpaq.cpp:6417); fmt=1 costs scale smoothly with lg(off),
+          // which the score already charges
+          int extra = fmt == 2
+              ? (off >= (1u << 16)) + (off >= (1u << 24)) : 0;
           if (l >= size_t(min_match + extra)) {
             int score = int(l) * 8 - ilog2(u32(off)) - 11
                         - 2 * (i > lit_start);
@@ -1366,17 +1449,97 @@ size_t tz_lz77_encode(const u8* in, size_t n, int min_match, int depth_log,
     } else {
       if (i + 4 <= n) insert(i);
       // skip-ahead acceleration: grow the stride while no matches are
-      // found (incompressible regions), LZ4-style; costs at most one
-      // missed short match right after a long literal run. The stride
-      // must never reset mid-run: on hash tables saturated by earlier
-      // (unrelated) data, every probe is ~`depth` cache misses, so
-      // random payloads would otherwise crawl at single-digit MB/s.
+      // found (incompressible regions), LZ4-style. The stride must never
+      // reset mid-run: on hash tables saturated by earlier (unrelated)
+      // data, every probe is ~`depth` cache misses, so random payloads
+      // would otherwise crawl at single-digit MB/s. Within a skipped
+      // span, resync on CONTENT-DEFINED anchors (~1/64 positions by the
+      // hash's top bits): two copies of the same data pick the same
+      // anchor positions regardless of stride phase, so long-range
+      // duplicates after an incompressible stretch are still found
+      // (blind striding almost never lands on an inserted offset).
       size_t run = i - lit_start;
-      i += 1 + (run >> 6);
+      size_t stride = 1 + (run >> 6);
+      if (stride > 1 && i + 5 <= n) {
+        size_t lim = i + stride;
+        if (lim + 4 > n) lim = n - 4;
+        // anchor hash MUST be decorrelated from the row hash (different
+        // multiplier): with the same one, every anchor lands in the same
+        // 1/64 of rows and they evict each other
+        size_t j = i + 1;
+        for (; j < lim; ++j)
+          if ((read4(j) * 2246822519u) >> 26 == 0) break;  // 1/64 anchor
+        i = j;
+      } else {
+        i += stride;
+      }
     }
   }
   if (lit_start < n) flush_literals(n);
+  if (fmt == 1 && bnb > 0) put(u8(bbits));   // reference flush(): pad final
   return w;   // bytes needed; caller re-calls with a bigger cap if > cap
+}
+
+size_t tz_lz77_encode(const u8* in, size_t n, int min_match, int depth_log,
+                      int hash_bits, u8* out, size_t cap) {
+  return lz77_core(in, n, 2, min_match, depth_log, hash_bits, 0, out, cap);
+}
+
+// Packed (bit-level) LZ77, the reference's N2=1 stream. rb = extra low
+// offset bits = max(0, log2(blocksize) - 24) (libzpaq.cpp:6284).
+size_t tz_lz77p_encode(const u8* in, size_t n, int min_match, int depth_log,
+                       int hash_bits, int rb, u8* out, size_t cap) {
+  return lz77_core(in, n, 1, min_match, depth_log, hash_bits, rb, out, cap);
+}
+
+// Native inverse of the packed LZ77 stream (the decode-side truth is the
+// stored ZPAQL pcomp; this twin exists as the recognized-pcomp fast path
+// and as the encoder's test oracle). Trailing pad bits (at most 7 zero
+// bits, reference flush()) can never complete a code, so any short read
+// terminates cleanly.
+size_t tz_lz77p_decode(const u8* in, size_t n, int rb, u8* out, size_t cap) {
+  const size_t total = n * 8;
+  size_t bitpos = 0, w = 0;
+  auto getb = [&](int k) -> u32 {
+    u32 x = 0;
+    for (int j = 0; j < k; ++j, ++bitpos)
+      x |= u32((in[bitpos >> 3] >> (bitpos & 7)) & 1) << j;
+    return x;
+  };
+  for (;;) {
+    if (bitpos + 2 > total) break;
+    u32 mm = getb(2);
+    u32 lo = 0;
+    if (mm) {
+      if (bitpos + 3 > total) break;
+      lo = mm * 8 + getb(3) - 8;
+    }
+    u32 v = 1;  // interleaved gamma with implied leading 1
+    for (;;) {
+      if (bitpos >= total) return w;
+      if (!getb(1)) break;
+      if (bitpos >= total) return w;
+      v = (v << 1) | getb(1);
+    }
+    if (mm == 0) {                      // literal run of v bytes
+      if (bitpos + size_t(v) * 8 > total) return w;
+      for (u32 j = 0; j < v; ++j) {
+        u8 c = u8(getb(8));
+        if (w < cap) out[w] = c;
+        ++w;
+      }
+    } else {                            // match
+      if (bitpos + 2 + rb + lo > total) return w;
+      u32 len = (v << 2) | getb(2);
+      u32 r = rb ? getb(rb) : 0;
+      u32 q = (1u << lo) | (lo ? getb(lo) : 0);
+      size_t off = ((size_t(q) << rb) | r) - ((size_t(1) << rb) - 1);
+      if (off > w) return w;            // corrupt stream; stop
+      for (u32 j = 0; j < len; ++j, ++w)
+        if (w < cap) out[w] = w >= off ? out[w - off] : 0;
+    }
+  }
+  return w;
 }
 
 // Content-defined chunking: order-1-predictive rolling hash, boundary when

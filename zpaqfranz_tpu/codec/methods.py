@@ -283,7 +283,78 @@ class _ModelBuilder:
         return "\n".join(lines)
 
 
-def lz77_pcomp_source(min_match: int) -> str:
+# ---- E8E9 output stage -----------------------------------------------------
+#
+# For composite transforms (N2 = 5/6/7: E8E9 applied BEFORE LZ77/BWT on
+# encode), the postprocessor must run the LZ77/BWT inverse first and feed its
+# output through an E8E9 inverse. The stage keeps a 5-byte delay window in
+# the TOP cells of H (indices -8..-2 mod 2^ph — D wraps, so negative indexes
+# address the high end without big immediates): H[-8..-4] = window w0..w4,
+# H[-3] = pending count, H[-2] = absolute output position of w0. When the
+# window fills, {E8|E9 xx xx xx 00|FF} rewrites the middle 3 bytes by
+# subtracting the position (the forward transform added it — reference
+# libzpaq.cpp:6117-6126, scanned backward; the forward-with-delay inverse is
+# exact because each byte is pattern-checked exactly once as w0, in the
+# mirror order of the backward encode). The stage must NOT rewrite the LZ77
+# ring M: matches copy TRANSFORMED bytes (the encoder matched transformed
+# data), so the window is a separate buffer.
+#
+# Contract: byte to emit in R10; preserves B (and the M ring); saves and
+# restores C and D via R30/R31; clobbers A.
+
+_E8E9_STAGE = """
+    a=c r=a 30 a=d r=a 31 (save C, D)
+    a=0 a-- a-- a-- d=a a=*d c=a (c = pending count, cell H[-3])
+    a++ *d=a
+    a=c a-= 8 d=a a=r 10 *d=a (window[count] = byte)
+    a=c a== 4 ifl (5 pending: pattern-check, emit w0, slide)
+      a=0 a-= 8 d=a a=*d
+      a&= 254 a== 232 ifl (w0 is E8/E9)
+        a=0 a-= 4 d=a a=*d
+        a++ a&= 254 a== 0 if (w4 is 00/FF: un-add the position)
+          a=0 a-= 5 d=a a=*d c=a
+          a=0 a-= 6 d=a a=c a<<= 8 a+=*d c=a
+          a=0 a-- a-= 6 d=a a=c a<<= 8 a+=*d (a = w3<<16|w2<<8|w1)
+          c=a a=0 a-- a-- d=a a=c a-=*d (minus abspos H[-2])
+          c=a a=0 a-- a-= 6 d=a a=c a&= 255 *d=a
+          a=0 a-= 6 d=a a=c a>>= 8 a&= 255 *d=a
+          a=0 a-= 5 d=a a=c a>>= 16 a&= 255 *d=a
+        endif
+      endif
+      a=0 a-= 8 d=a a=*d out
+      a=0 a-- a-= 6 d=a a=*d c=a a=0 a-= 8 d=a a=c *d=a
+      a=0 a-= 6 d=a a=*d c=a a=0 a-- a-= 6 d=a a=c *d=a
+      a=0 a-= 5 d=a a=*d c=a a=0 a-= 6 d=a a=c *d=a
+      a=0 a-= 4 d=a a=*d c=a a=0 a-= 5 d=a a=c *d=a
+      a=0 a-- a-- a-- d=a a= 4 *d=a
+      a=0 a-- a-- d=a a=*d a++ *d=a (abspos++)
+    endif
+    a=r 30 c=a a=r 31 d=a (restore C, D)
+"""
+
+# Segment-end flush: the <=4 pending window bytes can never start a pattern
+# (a pattern needs 5 bytes), so they are emitted raw; state resets for the
+# next segment. Clobbers C and D (callers are at end-of-segment).
+_E8E9_FLUSH = """
+    a=0 a-- a-- a-- d=a a=*d c=a
+    a=c a== 0 ifnot
+      a=0 a-= 8 d=a
+      do
+        a=*d out d++ c--
+        a=c a> 0 while
+    endif
+    a=0 a-- a-- a-- d=a a=0 *d=a
+    a=0 a-- a-- d=a a=0 *d=a
+"""
+
+
+def _emit(e8e9: bool) -> str:
+    """Emit-byte fragment: byte in A (already stored to *b by the caller
+    where the ring matters). Plain ``out`` or the E8E9 stage."""
+    return ("r=a 10" + _E8E9_STAGE) if e8e9 else "out"
+
+
+def lz77_pcomp_source(min_match: int, e8e9: bool = False) -> str:
     """ZPAQL postprocessor inverting the byte-aligned LZ77 stream.
 
     Stream format (reference libzpaq.cpp:6211-6222): code byte 00xxxxxx =
@@ -294,27 +365,33 @@ def lz77_pcomp_source(min_match: int) -> str:
       R0 = state (0 code, 1 offset bytes, 2 literals), R1 = offset
       accumulator, R2 = offset bytes remaining, R3 = count, B = output
       ring pointer into M (size 2^pm >= block size).
+
+    With ``e8e9`` (method N2=6), every output byte is routed through the
+    E8E9 inverse stage instead of ``out`` — the M ring still receives the
+    TRANSFORMED bytes (matches were found on transformed data).
     """
+    emit = _emit(e8e9)
+    flush = _E8E9_FLUSH if e8e9 else ""
     return f"""
-  a> 255 if halt endif (segment end: nothing to flush)
+  a> 255 if {flush} halt endif (segment end)
   c=a (save the input byte)
   a=r 0
-  a== 1 if (collect an offset byte)
+  a== 1 ifl (collect an offset byte)
     a=r 1 a<<= 8 a+=c r=a 1
     a=r 2 a-- r=a 2
-    a== 0 if (offset complete: copy the match)
+    a== 0 ifl (offset complete: copy the match)
       a=r 1 a++ c=a (c = distance)
       a=b a-=c c=a (c = source = b - distance)
       d=r 3
       do
-        a=*c *b=a out b++ c++ d--
+        a=*c *b=a {emit} b++ c++ d--
         a=d a> 0 while
       a=0 r=a 0
     endif
     halt
   endif
-  a== 2 if (literal byte)
-    a=c *b=a out b++
+  a== 2 ifl (literal byte)
+    a=c *b=a {emit} b++
     a=r 3 a-- r=a 3
     a== 0 if a=0 r=a 0 endif
     halt
@@ -332,6 +409,135 @@ def lz77_pcomp_source(min_match: int) -> str:
   halt"""
 
 
+def lz77p_pcomp_source(rb: int, e8e9: bool = False) -> str:
+    """ZPAQL postprocessor inverting the PACKED (bit-level) LZ77 stream.
+
+    Stream format (reference libzpaq.cpp:6211-6222 comment + write_literal/
+    write_match level-1 paths, 6466-6516; bits packed LSB-first per putb
+    6172-6180):
+
+      00,gamma(lit),L[lit*8]      literal run (interleaved Elias gamma:
+                                  leading 1 implied, each data bit preceded
+                                  by a 1 flag, terminated by a 0 flag)
+      mm,mmm,gamma(len>>2),ll,r[rb],q[lo]
+                                  match of length (gamma<<2|ll), offset
+                                  off' = ((1<<lo | q) << rb) | r, real
+                                  offset = off' - (1<<rb) + 1, where
+                                  lo = 8*mm + mmm - 8
+
+    Multi-bit fields (mm, mmm, ll, r, q, literal bytes) are LSB-first;
+    gamma data bits are MSB-first. ``rb`` is baked into the program (it is
+    a method parameter, = max(0, block_bits - 24)).
+
+    Bit-serial state machine, states in R0:
+      0 mm bit 0          1 mm bit 1         2 mmm (3 bits)
+      3 gamma flag        4 gamma data       5 ll (2 bits)
+      6 r (rb bits)       7 q (lo bits)      8 literal byte (8 bits)
+    R1 = field accumulator, R2 = bits remaining, R3 = bit weight,
+    R4 = gamma value, R5 = lo, R6 = mode (0 literal / 1 match),
+    R7 = mm, R8 = r, R9 = pending count (literals or match length),
+    R12 = shifting input byte, R15 = bit loop counter.
+    B = output ring pointer into M (2^pm >= block size).
+
+    State 7 (q) completes via the post-dispatch check (R2 == 0), which also
+    handles lo == 0 / rb == 0 zero-width fields. Trailing pad bits (<= 7
+    zero bits) can never complete a literal byte, so they emit nothing.
+    """
+    emit = _emit(e8e9)
+    flush = _E8E9_FLUSH if e8e9 else ""
+    # generic collect-one-bit step: acc += t*weight; weight *= 2; rem -= 1
+    collect = """
+      a=r 14 a== 0 ifnot a=r 3 c=a a=r 1 a+=c r=a 1 endif
+      a=r 3 c=a a+=c r=a 3
+      a=r 2 a-- r=a 2
+    """
+    off_sub = f"a-= {(1 << rb) - 1}" if rb else ""
+    return f"""
+  a> 255 if {flush} a=0 r=a 0 b=0 halt endif (segment end: reset)
+  r=a 12
+  a= 8 r=a 15
+  do
+    a=r 12 a&= 1 r=a 14 (t = next bit, LSB first)
+    a=r 12 a>>= 1 r=a 12
+    a=r 0
+    a== 8 ifl (literal byte: collect 8 bits)
+      {collect}
+      a== 0 ifl
+        a=r 1 *b=a {emit} b++
+        a=r 9 a-- r=a 9
+        a== 0 if a=0 r=a 0
+        else a=0 r=a 1 a= 8 r=a 2 a= 1 r=a 3 endif
+      endif
+    elsel
+    a== 3 ifl (gamma flag bit)
+      a=r 14 a== 1 if a= 4 r=a 0
+      else
+        a=r 6 a== 0 if (literal count complete)
+          a=r 4 r=a 9
+          a=0 r=a 1 a= 8 r=a 2 a= 1 r=a 3 a= 8 r=a 0
+        else (match: collect ll)
+          a=0 r=a 1 a= 2 r=a 2 a= 1 r=a 3 a= 5 r=a 0
+        endif
+      endif
+    elsel
+    a== 4 ifl (gamma data bit, MSB first)
+      a=r 4 a+=a c=a a=r 14 a+=c r=a 4
+      a= 3 r=a 0
+    elsel
+    a== 0 ifl (mm bit 0)
+      a=r 14 r=a 7
+      a= 1 r=a 0
+    elsel
+    a== 1 ifl (mm bit 1)
+      a=r 14 a+=a c=a a=r 7 a+=c
+      a== 0 if (literal code)
+        a=0 r=a 6 a= 1 r=a 4 a= 3 r=a 0
+      else
+        r=a 7
+        a=0 r=a 1 a= 3 r=a 2 a= 1 r=a 3 a= 2 r=a 0
+      endif
+    elsel
+    a== 2 ifl (mmm: 3 bits)
+      {collect}
+      a== 0 if
+        a=r 7 a<<= 3 c=a a=r 1 a+=c a-= 8 r=a 5 (lo)
+        a= 1 r=a 6 a= 1 r=a 4 a= 3 r=a 0
+      endif
+    elsel
+    a== 5 ifl (ll: 2 bits)
+      {collect}
+      a== 0 if
+        a=r 4 a<<= 2 c=a a=r 1 a+=c r=a 9 (len)
+        a=0 r=a 8
+        {"a=0 r=a 1 a= %d r=a 2 a= 1 r=a 3 a= 6 r=a 0" % rb if rb
+         else "a=0 r=a 1 a=r 5 r=a 2 a= 1 r=a 3 a= 7 r=a 0"}
+      endif
+    elsel
+    a== 6 ifl (r: rb bits)
+      {collect}
+      a== 0 if
+        a=r 1 r=a 8
+        a=0 r=a 1 a=r 5 r=a 2 a= 1 r=a 3 a= 7 r=a 0
+      endif
+    elsel (state 7: q, lo bits; completion via the post-check)
+      {collect}
+    endif endif endif endif endif endif endif endif
+    a=r 0 a== 7 ifl a=r 2 a== 0 ifl (q complete: copy the match)
+      a=r 1 c=a a=r 3 a+=c (q with implied leading 1 = acc + weight)
+      a<<= {rb} c=a a=r 8 a+=c (off')
+      {off_sub}
+      c=a a=b a-=c c=a (c = source = b - off)
+      d=r 9
+      do
+        a=*c *b=a {emit} b++ c++ d--
+        a=d a> 0 while
+      a=0 r=a 0
+    endif endif
+    a=r 15 a-- r=a 15
+    a> 0 while
+  halt"""
+
+
 # ---- level presets ------------------------------------------------------
 
 def level_method(level: int, block_arg: int = 4, ease: int = 128,
@@ -346,10 +552,12 @@ def level_method(level: int, block_arg: int = 4, ease: int = 128,
     e89 = 4 if dtype in (2, 3) else 0
     if level == 0:
         return f"x{b}.0"
-    if level == 1:                      # fast byte-aligned LZ77, store-coded
-        return f"x{b}.{2 + e89}.6.0.3.22"
-    if level == 2:                      # stronger LZ77, same decode speed
-        return f"x{b}.{2 + e89}.5.0.8.26"
+    if level == 1:                      # fast packed LZ77, store-coded
+        # the spec's "typical good values for fast compression"
+        # (libzpaq.h:156-160)
+        return f"x{b}.{1 + e89}.5.0.3.22"
+    if level == 2:                      # packed LZ77, deeper search, same
+        return f"x{b}.{1 + e89}.4.0.8.24"   # decode speed (libzpaq.h:101)
     if level == 3:                      # BWT + low-order chain
         return f"x{b}.{3 + e89}ci1"
     if level == 4:                      # CM: order chain + match + word
@@ -360,7 +568,7 @@ def level_method(level: int, block_arg: int = 4, ease: int = 128,
     raise MethodError(f"unknown level {level}")
 
 
-def bwt_pcomp_source() -> str:
+def bwt_pcomp_source(e8e9: bool = False) -> str:
     """ZPAQL postprocessor inverting the BWT stream.
 
     Stream (reference libzpaq.cpp:6317-6327): B[0..n] = last column over the
@@ -375,8 +583,13 @@ def bwt_pcomp_source() -> str:
     "4 times the block size" BWT decode cost (libzpaq.h:137-141).
     Registers: R1 = n, R2 = idx, R3 = n+1, R4 = walk cursor; B = input
     write pointer during buffering.
+    With ``e8e9`` (method N2=7), each walked byte is routed through the
+    E8E9 inverse stage (window in H[-8..-2]; H holds 256 + n + 8 live
+    cells, which fits because blocks are at most 2^N1 MiB - 4096 bytes).
     """
-    return """
+    emit = _emit(e8e9)
+    flush = _E8E9_FLUSH if e8e9 else ""
+    return f"""
   a> 255 ifnot *b=a b++ halt endif (buffer one input byte)
   (segment end: b = n+5 total bytes)
   a=b a< 5 if b=0 halt endif
@@ -410,9 +623,10 @@ def bwt_pcomp_source() -> str:
   do
     a=r 4 a+= 255 a++ d=a
     a=*d r=a 4
-    b=a a=*b out
+    b=a a=*b {emit}
     c--
     a=c a> 0 while
+  {flush}
   b=0
   halt"""
 
@@ -486,21 +700,24 @@ def make_model(method: str, n_components_hint: Optional[int] = None
 
     pcomp_body = None
     ph = pm = 0
-    if pre.transform == 2:
-        pcomp_body = lz77_pcomp_source(max(1, pre.min_match))
+    if pre.transform == 1:
+        pcomp_body = lz77p_pcomp_source(max(0, pre.block_bits - 24),
+                                        e8e9=pre.e8e9)
         pm = pre.block_bits             # output ring must hold a whole block
+        if pre.e8e9:
+            ph = 3                      # E8E9 stage window cells H[-8..-2]
+    elif pre.transform == 2:
+        pcomp_body = lz77_pcomp_source(max(1, pre.min_match), e8e9=pre.e8e9)
+        pm = pre.block_bits             # output ring must hold a whole block
+        if pre.e8e9:
+            ph = 3                      # E8E9 stage window cells H[-8..-2]
     elif pre.transform == 3:
-        pcomp_body = bwt_pcomp_source()
+        pcomp_body = bwt_pcomp_source(e8e9=pre.e8e9)
         pm = pre.block_bits             # input buffer (n+5 <= block size)
-        ph = pre.block_bits             # 256 counters + psi permutation
+        ph = pre.block_bits             # 256 counters + psi (+ E8E9 cells)
     elif pre.transform == 0 and pre.e8e9:
         pcomp_body = e8e9_pcomp_source()
         pm = 4                          # only a 5-byte window is live
-    elif pre.transform == 1 or pre.e8e9:
-        raise MethodError(
-            f"method {method!r}: transform {pre.transform}"
-            f"{'+E8E9' if pre.e8e9 else ''} not implemented yet "
-            "(packed LZ77 and composite E8E9 postprocessors are upcoming)")
 
     if builder.n == 0 and pcomp_body is None:
         return None, pre                # store mode (n=0 block)

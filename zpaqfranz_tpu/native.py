@@ -85,6 +85,12 @@ def _load():
     lib.tz_bwt_encode.restype = C.c_size_t
     lib.tz_bwt_encode.argtypes = [C.c_char_p, C.c_size_t, C.c_char_p,
                                   C.c_size_t]
+    lib.tz_lz77p_encode.restype = C.c_size_t
+    lib.tz_lz77p_encode.argtypes = [C.c_char_p, C.c_size_t, C.c_int, C.c_int,
+                                    C.c_int, C.c_int, C.c_char_p, C.c_size_t]
+    lib.tz_lz77p_decode.restype = C.c_size_t
+    lib.tz_lz77p_decode.argtypes = [C.c_char_p, C.c_size_t, C.c_int,
+                                    C.c_char_p, C.c_size_t]
     lib.tz_lz77_encode.restype = C.c_size_t
     lib.tz_lz77_encode.argtypes = [C.c_char_p, C.c_size_t, C.c_int, C.c_int,
                                    C.c_int, C.c_char_p, C.c_size_t]
@@ -258,6 +264,37 @@ def lz77_encode(data: bytes, min_match: int = 6, depth_log: int = 4,
         need = lib.tz_lz77_encode(data, len(data), min_match, depth_log,
                                   hash_bits, out, need)
     return out.raw[:need]
+
+
+def lz77p_encode(data: bytes, min_match: int = 5, depth_log: int = 3,
+                 hash_bits: int = 22, rb: int = 0) -> bytes:
+    """Packed (bit-level) LZ77 transform (reference level-1 stream format).
+
+    ``rb`` = extra low offset bits = max(0, block_bits - 24)
+    (libzpaq.cpp:6284 ``rb(args[0]>4 ? args[0]-4 : 0)``)."""
+    lib = _load()
+    cap = len(data) + len(data) // 16 + 1024
+    out = C.create_string_buffer(cap)
+    need = lib.tz_lz77p_encode(data, len(data), min_match, depth_log,
+                               hash_bits, rb, out, cap)
+    if need > cap:
+        out = C.create_string_buffer(need)
+        need = lib.tz_lz77p_encode(data, len(data), min_match, depth_log,
+                                   hash_bits, rb, out, need)
+    return out.raw[:need]
+
+
+def lz77p_decode(data: bytes, rb: int, out_hint: int = 0) -> bytes:
+    """Native inverse of the packed LZ77 stream (test oracle / fast path;
+    the format's decode-side truth is the stored ZPAQL pcomp)."""
+    lib = _load()
+    cap = max(out_hint, len(data) * 8 + 1024)
+    while True:
+        out = C.create_string_buffer(cap)
+        n = lib.tz_lz77p_decode(data, len(data), rb, out, cap)
+        if n <= cap:
+            return out.raw[:n]
+        cap = n
 
 
 def postprocess(ph: int, pm: int, data: bytes, out_hint: int = 0) -> bytes:

@@ -203,21 +203,33 @@ def prepare_payload(pre, payload: bytes) -> Tuple[bytes, bool]:
     store decision fired: the ORIGINAL payload should be written as a raw
     store block instead of modeling the transformed stream (the reference's
     per-block redundancy test; identical on host and device paths so both
-    produce the same archive bytes)."""
-    if pre.transform == 2:
+    produce the same archive bytes).
+
+    Composite transforms (N2=5/6/7) apply E8E9 BEFORE LZ77/BWT, exactly as
+    the reference LZBuffer ctor does (libzpaq.cpp:6295)."""
+    if pre.transform in (1, 2):
         if looks_incompressible(payload):
             return payload, True
-        lz = native.lz77_encode(
-            payload, min_match=max(1, pre.min_match),
-            depth_log=max(1, pre.depth_log),
-            hash_bits=max(12, min(pre.hash_bits or 22, 27)))
+        src = native.e8e9_transform(payload) if pre.e8e9 else payload
+        if pre.transform == 1:
+            lz = native.lz77p_encode(
+                src, min_match=max(4, pre.min_match),
+                depth_log=max(1, pre.depth_log),
+                hash_bits=max(12, min(pre.hash_bits or 22, 27)),
+                rb=max(0, pre.block_bits - 24))
+        else:
+            lz = native.lz77_encode(
+                src, min_match=max(1, pre.min_match),
+                depth_log=max(1, pre.depth_log),
+                hash_bits=max(12, min(pre.hash_bits or 22, 27)))
         if len(lz) >= len(payload) - (len(payload) >> 6):
             # post-test: LZ77 found nothing; store beats modeling the
             # expanded literal stream
             return payload, True
         return lz, False
     if pre.transform == 3:
-        return native.bwt_encode(payload), False
+        src = native.e8e9_transform(payload) if pre.e8e9 else payload
+        return native.bwt_encode(src), False
     if pre.transform == 0 and pre.e8e9:
         return native.e8e9_transform(payload), False
     return payload, False

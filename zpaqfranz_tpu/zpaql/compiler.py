@@ -114,6 +114,10 @@ def _compile_body(p: _Parser) -> Tuple[bytes, int]:
     while True:
         op = p.token_index()
         if op in (_POST, _PCOMP, _END):
+            if if_stack or do_stack:
+                raise ZPAQLError(
+                    "unbalanced IF/DO: %d open IF, %d open DO at body end"
+                    % (len(if_stack), len(do_stack)))
             return bytes(code), op
         operand = operand2 = None
         if op == _IF:
