@@ -12,6 +12,11 @@ Block compression runs through the native engine by default; the batched
 TPU encoder takes over when multiple blocks are ready (lanes = blocks).
 Every emitted block is a standard ZPAQ block, so reference zpaqfranz can
 list/extract our archives.
+
+The pipeline is factored into stages (open_for_append / diff_index /
+FragmentPlanner / build_transaction / commit_transaction) shared with the
+multi-host distributed path (parallel/multihost.py), which replays the
+same fragment-ID assignment so archive bytes are host-count invariant.
 """
 
 from __future__ import annotations
@@ -20,7 +25,7 @@ import datetime
 import os
 import pathlib
 import struct
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
 from .. import native
@@ -101,11 +106,16 @@ def _jdc_name(date: int, typ: str, num: int) -> bytes:
 
 @dataclass
 class _Job:
-    """One d block to compress: fragment IDs + concatenated bytes."""
+    """One d block to compress: fragment IDs + concatenated bytes.
+
+    ``data`` holds the bytes on the single-host path; the distributed path
+    carries ``spans`` [(file name, start, end)] instead and the compressing
+    host materializes the bytes from shared storage."""
 
     first_frag: int
     frags: List[Tuple[bytes, int]]   # (sha1, usize) per fragment
     data: bytearray
+    spans: List[Tuple[str, int, int]] = field(default_factory=list)
 
 
 _STORE_MODEL = Model(hh=0, hm=0)
@@ -127,28 +137,35 @@ def _compress_d_block(model: Optional[Model], pre, job: _Job,
     return native.compress_block(model, payload, name, comment)
 
 
-def add(archive: str, files: Sequence[str], method: str = "1",
-        fragment_bits: int = 16, threads: int = 0,
-        date: Optional[int] = None, summary: bool = False,
-        key: Optional[str] = None,
-        use_device: bool = False,
-        index_path: Optional[str] = None,
-        chunk: int = 0,
-        notrim: bool = False,
-        tmp: bool = False) -> Tuple[int, int, int]:
-    """Append one transaction. Returns (files added, frags added, bytes).
+# ---------------------------------------------------------------------------
+# Stage 1: open the archive for append (index load, trim, crypto state)
+# ---------------------------------------------------------------------------
 
-    index_path: also append the transaction's c/h/i blocks (no d data) to
-    a detached index file (reference -index, CHANGELOG.md:687-717) so
-    list/sync/dedup work without reading the archive back.
-    chunk: with a multipart spec, cap each written part at this many
-    bytes (reference -chunk fixed-size parts, CHANGELOG.md:922-927).
-    notrim: keep a trailing incomplete transaction instead of truncating
-    it before appending (reference default auto-trim, CHANGELOG.md:360-376).
-    tmp: create new files as <name>.tmp then rename into place
-    (reference -tmp write-then-rename, CHANGELOG.md:357-359; appends to an
-    existing archive stay in-place — crash safety there comes from the
-    transactional format + auto-trim)."""
+@dataclass
+class AppendCtx:
+    """Everything commit_transaction needs to append one transaction."""
+
+    archive: str
+    jd: Jidac
+    parts: List[str]
+    part_namer: Optional[object]
+    path: pathlib.Path
+    existing_len: int = 0
+    trimmed: int = 0
+    salt: Optional[bytes] = None
+    key: Optional[str] = None
+
+    @property
+    def multipart(self) -> bool:
+        return self.part_namer is not None
+
+
+def open_for_append(archive: str, key: Optional[str] = None,
+                    notrim: bool = False,
+                    index_path: Optional[str] = None) -> AppendCtx:
+    """Load the existing index (trimming a trailing bad transaction per the
+    reference default, CHANGELOG.md:360-376) and capture crypto/multipart
+    state for the final append."""
     from ..codec import crypto
     parts, part_namer = expand_parts(archive)
     multipart = part_namer is not None
@@ -194,21 +211,19 @@ def add(archive: str, files: Sequence[str], method: str = "1",
         jd = read_archive(pathlib.Path(index_path).read_bytes())
     else:
         jd = Jidac()
+    return AppendCtx(archive=archive, jd=jd, parts=parts,
+                     part_namer=part_namer, path=path,
+                     existing_len=len(existing), trimmed=trimmed,
+                     salt=salt, key=key)
 
-    model, pre = make_model(method)   # raises for not-yet-supported methods
-    block_cap = min(1 << pre.block_bits, 1 << 24)  # >= threads jobs in flight
 
-    ext = scan_files(files)
-    date = date or now_date()
-    if jd.ver[-1].date >= date:
-        date = jd.ver[-1].date + 1   # version dates must ascend
+# ---------------------------------------------------------------------------
+# Stage 2: diff the filesystem against the index
+# ---------------------------------------------------------------------------
 
-    # dedup table over existing fragments
-    dedup: Dict[bytes, int] = {}
-    for i, h in enumerate(jd.ht):
-        if i and h.sha1 != b"\x00" * 20:
-            dedup[h.sha1] = i
-
+def diff_index(jd: Jidac, ext: Dict[str, Tuple[int, int, int]],
+               files: Sequence[str]) -> Tuple[List[str], List[str]]:
+    """-> (changed file names sorted, deleted file names sorted)."""
     changed: List[str] = []
     deleted: List[str] = []
     for name, (fdate, fsize, fattr) in sorted(ext.items()):
@@ -218,14 +233,259 @@ def add(archive: str, files: Sequence[str], method: str = "1",
     for name, d in sorted(jd.dt.items()):
         if d.date and name not in ext and _under_any(name, files):
             deleted.append(name)
+    return changed, deleted
+
+
+# ---------------------------------------------------------------------------
+# Stage 3: deterministic fragment-ID assignment and d-block packing
+# ---------------------------------------------------------------------------
+
+class FragmentPlanner:
+    """Replays the serial dedup/packing decision: fragments are offered in
+    global file order; new hashes get ascending IDs; jobs close when the
+    block cap fills. Both the single-host add() and every host of the
+    distributed add run this identical logic, which is what makes archive
+    bytes host-count invariant (SURVEY.md section 7 hard part 6)."""
+
+    def __init__(self, dedup: Dict[bytes, int], next_frag: int,
+                 block_cap: int, keep_bytes: bool = True):
+        self.dedup = dedup
+        self.next_frag = next_frag
+        self.block_cap = block_cap
+        self.keep_bytes = keep_bytes
+        self.first_frag = next_frag
+        self.new_ht: List[HT] = []
+        self.file_ptrs: Dict[str, List[int]] = {}
+        self.cur = _Job(first_frag=next_frag, frags=[], data=bytearray())
+        self._cur_bytes = 0
+
+    def add_file(self, name: str, frags: Sequence[Tuple[bytes, int, int]],
+                 data: Optional[bytes]) -> List[_Job]:
+        """Offer one file's fragments [(sha1, start, end)]; returns any jobs
+        that filled up (caller compresses/queues them)."""
+        done: List[_Job] = []
+        ptrs: List[int] = []
+        for sha, start, end in frags:
+            fid = self.dedup.get(sha)
+            if fid is None:
+                fid = self.next_frag
+                self.next_frag += 1
+                self.dedup[sha] = fid
+                self.new_ht.append(HT(sha, end - start))
+                self.cur.frags.append((sha, end - start))
+                if self.keep_bytes:
+                    self.cur.data += data[start:end]
+                self.cur.spans.append((name, start, end))
+                self._cur_bytes += end - start
+                if self._cur_bytes >= self.block_cap:
+                    done.append(self.cur)
+                    self.cur = _Job(first_frag=self.next_frag, frags=[],
+                                    data=bytearray())
+                    self._cur_bytes = 0
+            ptrs.append(fid)
+        self.file_ptrs[name] = ptrs
+        return done
+
+    def finish(self) -> Optional[_Job]:
+        return self.cur if self.cur.frags else None
+
+
+def job_bytes(job: _Job) -> bytes:
+    """Materialize a span-carrying job's data from (shared) storage."""
+    if job.data:
+        return bytes(job.data)
+    out = bytearray()
+    handles: Dict[str, object] = {}
+    try:
+        for name, start, end in job.spans:
+            f = handles.get(name)
+            if f is None:
+                f = handles[name] = open(name, "rb")
+            f.seek(start)
+            out += f.read(end - start)
+    finally:
+        for f in handles.values():
+            f.close()
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Stage 4: transaction assembly (c + d... + h... + i)
+# ---------------------------------------------------------------------------
+
+def build_transaction(date: int, jobs: Sequence[_Job],
+                      d_blocks: Sequence[bytes],
+                      changed: Sequence[str], deleted: Sequence[str],
+                      ext: Dict[str, Tuple[int, int, int]],
+                      file_sums: Dict[str, Tuple[int, int]],
+                      file_ptrs: Dict[str, List[int]],
+                      first_frag: int,
+                      franz: str = "xxhash64") -> Tuple[bytes, bytes]:
+    """-> (transaction bytes, detached-index copy without d blocks)."""
+    out = bytearray()
+    ix = bytearray()
+    csize = sum(len(b) for b in d_blocks)
+    cbody = struct.pack("<q", csize)
+    cname = _jdc_name(date, "c", first_frag)
+    store = Model(hh=0, hm=0)
+    cblk = native.compress_block(
+        store, cbody, cname, b"%d jDC\x01" % len(cbody))
+    out += cblk
+    ix += cblk
+    for b in d_blocks:
+        out += b
+    for job, dblk in zip(jobs, d_blocks):
+        body = bytearray(struct.pack("<I", len(dblk)))
+        for sha, usize in job.frags:
+            body += sha + struct.pack("<I", usize)
+        hname = _jdc_name(date, "h", job.first_frag)
+        hblk = native.compress_block(
+            store, bytes(body), hname, b"%d jDC\x01" % len(body))
+        out += hblk
+        ix += hblk
+    ibody = bytearray()
+    for name in deleted:
+        ibody += struct.pack("<q", 0) + name.encode() + b"\x00"
+    for name in changed:
+        fdate, fsize, fattr = ext[name]
+        ibody += struct.pack("<q", fdate) + name.encode() + b"\x00"
+        base = bytes([fattr & 255, (fattr >> 8) & 255, (fattr >> 16) & 255])
+        attr_bytes = base + _franz_block(franz, file_sums.get(name))
+        ibody += struct.pack("<I", len(attr_bytes)) + attr_bytes
+        ptrs = file_ptrs[name]
+        ibody += struct.pack("<I", len(ptrs))
+        ibody += struct.pack(f"<{len(ptrs)}I", *ptrs)
+    iname = _jdc_name(date, "i", first_frag)
+    iblk = native.compress_block(
+        store, bytes(ibody), iname, b"%d jDC\x01" % len(ibody))
+    out += iblk
+    ix += iblk
+    return bytes(out), bytes(ix)
+
+
+def _franz_block(franz: str, sums: Optional[Tuple[int, int]]) -> bytes:
+    """Per-file checksum record appended after the base attr bytes
+    (the reference FRANZBLOCK, CHANGELOG.md:670-707; readers that use only
+    the low 8 attr bytes skip it, zsfx.cpp:1525-1528 reads-and-ignores).
+
+    franz='715' writes nothing (pure-zpaq output, CHANGELOG.md:484);
+    otherwise a compact binary record b"fz" + crc32[4] + xxh64[8]
+    (the v60 "binary FRANZBLOCK" role: default, smaller than hex text)."""
+    if franz == "715" or sums is None:
+        return b""
+    crc, xxh = sums
+    return b"fz" + struct.pack("<I", crc) + struct.pack("<Q", xxh)
+
+
+# ---------------------------------------------------------------------------
+# Stage 5: commit (encrypt + write/append)
+# ---------------------------------------------------------------------------
+
+def commit_transaction(ctx: AppendCtx, out: bytes, ix: bytes,
+                       chunk: int = 0, tmp: bool = False,
+                       index_path: Optional[str] = None) -> None:
+    from ..codec import crypto
+    disk_end = ctx.existing_len - ctx.trimmed
+    if ctx.key is not None:
+        if not ctx.existing_len:
+            payload = ctx.salt + crypto.encrypt_append(
+                out, ctx.key, ctx.salt, crypto.SALT_LEN)
+        else:
+            payload = crypto.encrypt_append(out, ctx.key, ctx.salt, disk_end)
+    else:
+        payload = out
+    if ctx.multipart:
+        # one new part per transaction (reference: parts are rsync-friendly
+        # append units; `m`/consolidate merges them); -chunk caps each
+        # part's size, continuing the numbering mid-transaction
+        pieces = ([payload[i:i + chunk] for i in range(0, len(payload),
+                                                       chunk)]
+                  if chunk else [payload])
+        for k, piece in enumerate(pieces):
+            with open(ctx.part_namer(len(ctx.parts) + 1 + k), "wb") as f:
+                f.write(piece)
+    elif not ctx.path.exists():
+        if tmp:
+            tpath = ctx.path.with_name(ctx.path.name + ".tmp")
+            tpath.write_bytes(payload)
+            tpath.replace(ctx.path)
+        else:
+            ctx.path.write_bytes(payload)
+    else:
+        with open(ctx.path, "r+b") as f:
+            if ctx.trimmed:
+                f.truncate(disk_end)
+            f.seek(0, 2)
+            f.write(payload)
+    if index_path:
+        from .index import INDEX_MAGIC
+        ipath = pathlib.Path(index_path)
+        if not ipath.exists():
+            ipath.write_bytes(INDEX_MAGIC)
+        with open(ipath, "ab") as f:
+            f.write(ix)
+
+
+def pick_date(jd: Jidac, date: Optional[int]) -> int:
+    date = date or now_date()
+    if jd.ver[-1].date >= date:
+        date = jd.ver[-1].date + 1   # version dates must ascend
+    return date
+
+
+def old_dedup_table(jd: Jidac) -> Dict[bytes, int]:
+    """Dedup table over the existing archive's fragments."""
+    dedup: Dict[bytes, int] = {}
+    for i, h in enumerate(jd.ht):
+        if i and h.sha1 != b"\x00" * 20:
+            dedup[h.sha1] = i
+    return dedup
+
+
+# ---------------------------------------------------------------------------
+# The single-host add pipeline
+# ---------------------------------------------------------------------------
+
+def add(archive: str, files: Sequence[str], method: str = "1",
+        fragment_bits: int = 16, threads: int = 0,
+        date: Optional[int] = None, summary: bool = False,
+        key: Optional[str] = None,
+        use_device: bool = False,
+        index_path: Optional[str] = None,
+        chunk: int = 0,
+        notrim: bool = False,
+        tmp: bool = False,
+        franz: str = "xxhash64") -> Tuple[int, int, int]:
+    """Append one transaction. Returns (files added, frags added, bytes).
+
+    index_path: also append the transaction's c/h/i blocks (no d data) to
+    a detached index file (reference -index, CHANGELOG.md:687-717) so
+    list/sync/dedup work without reading the archive back.
+    chunk: with a multipart spec, cap each written part at this many
+    bytes (reference -chunk fixed-size parts, CHANGELOG.md:922-927).
+    notrim: keep a trailing incomplete transaction instead of truncating
+    it before appending (reference default auto-trim, CHANGELOG.md:360-376).
+    tmp: create new files as <name>.tmp then rename into place
+    (reference -tmp write-then-rename, CHANGELOG.md:357-359; appends to an
+    existing archive stay in-place — crash safety there comes from the
+    transactional format + auto-trim).
+    franz: per-file checksum record format ('xxhash64' binary record or
+    '715' for pure-zpaq attrs, reference -715, CHANGELOG.md:484)."""
+    ctx = open_for_append(archive, key=key, notrim=notrim,
+                          index_path=index_path)
+    jd = ctx.jd
+
+    model, pre = make_model(method)   # raises for not-yet-supported methods
+    block_cap = min(1 << pre.block_bits, 1 << 24)  # >= threads jobs in flight
+
+    ext = scan_files(files)
+    date = pick_date(jd, date)
+    changed, deleted = diff_index(jd, ext, files)
     if not changed and not deleted:
         return 0, 0, 0
 
-    next_frag = len(jd.ht)
+    planner = FragmentPlanner(old_dedup_table(jd), len(jd.ht), block_cap)
     jobs: List[_Job] = []
-    cur = _Job(first_frag=next_frag, frags=[], data=bytearray())
-    file_ptrs: Dict[str, List[int]] = {}
-    new_ht: List[HT] = []
 
     # per-file CDC + hashing runs in a thread pool (the native calls
     # release the GIL); the dedup/fragment-ID assignment stays serial in
@@ -251,30 +511,16 @@ def add(archive: str, files: Sequence[str], method: str = "1",
             for name, (data, sums, frags) in zip(
                     changed, hx.map(_digest_file, changed)):
                 file_sums[name] = sums
-                ptrs: List[int] = []
-                for sha, start, end in frags:
-                    fid = dedup.get(sha)
-                    if fid is None:
-                        fid = next_frag
-                        next_frag += 1
-                        dedup[sha] = fid
-                        new_ht.append(HT(sha, end - start))
-                        cur.frags.append((sha, end - start))
-                        cur.data += data[start:end]
-                        if len(cur.data) >= block_cap:
-                            jobs.append(cur)
-                            if pipeline_host:
-                                d_futs.append(cx.submit(
-                                    _compress_d_block, model, pre, cur,
-                                    date))
-                            cur = _Job(first_frag=next_frag, frags=[],
-                                       data=bytearray())
-                    ptrs.append(fid)
-                file_ptrs[name] = ptrs
-        if cur.frags:
-            jobs.append(cur)
+                for job in planner.add_file(name, frags, data):
+                    jobs.append(job)
+                    if pipeline_host:
+                        d_futs.append(cx.submit(
+                            _compress_d_block, model, pre, job, date))
+        tail = planner.finish()
+        if tail is not None:
+            jobs.append(tail)
             if pipeline_host:
-                d_futs.append(cx.submit(_compress_d_block, model, pre, cur,
+                d_futs.append(cx.submit(_compress_d_block, model, pre, tail,
                                         date))
 
         # ---- compress d blocks: device lanes or pipelined host threads ----
@@ -286,89 +532,12 @@ def add(archive: str, files: Sequence[str], method: str = "1",
     finally:
         cx.shutdown(wait=False)
 
-    # ---- assemble the transaction ----
-    out = bytearray()
-    ix = bytearray()          # detached-index copy: c/h/i, no d blocks
-    csize = sum(len(b) for b in d_blocks)
-    cbody = struct.pack("<q", csize)
-    cname = _jdc_name(date, "c", next_frag - len(new_ht))
-    store = Model(hh=0, hm=0)
-    cblk = native.compress_block(
-        store, cbody, cname, b"%d jDC\x01" % len(cbody))
-    out += cblk
-    ix += cblk
-    for b in d_blocks:
-        out += b
-    for job, dblk in zip(jobs, d_blocks):
-        body = bytearray(struct.pack("<I", len(dblk)))
-        for sha, usize in job.frags:
-            body += sha + struct.pack("<I", usize)
-        hname = _jdc_name(date, "h", job.first_frag)
-        hblk = native.compress_block(
-            store, bytes(body), hname, b"%d jDC\x01" % len(body))
-        out += hblk
-        ix += hblk
-    ibody = bytearray()
-    for name in deleted:
-        ibody += struct.pack("<q", 0) + name.encode() + b"\x00"
-    for name in changed:
-        fdate, fsize, fattr = ext[name]
-        ibody += struct.pack("<q", fdate) + name.encode() + b"\x00"
-        crc, xxh = file_sums[name]
-        franz = b"fz" + struct.pack("<I", crc) + struct.pack("<Q", xxh)
-        attr_bytes = bytes([fattr & 255, (fattr >> 8) & 255,
-                            (fattr >> 16) & 255]) + franz
-        ibody += struct.pack("<I", len(attr_bytes)) + attr_bytes
-        ptrs = file_ptrs[name]
-        ibody += struct.pack("<I", len(ptrs))
-        ibody += struct.pack(f"<{len(ptrs)}I", *ptrs)
-    iname = _jdc_name(date, "i", next_frag - len(new_ht))
-    iblk = native.compress_block(
-        store, bytes(ibody), iname, b"%d jDC\x01" % len(ibody))
-    out += iblk
-    ix += iblk
-
-    # on-disk append offset: past the salt header, minus any trimmed tail
-    disk_end = len(existing) - trimmed
-    if key is not None:
-        if not existing:
-            payload = salt + crypto.encrypt_append(bytes(out), key, salt,
-                                                   crypto.SALT_LEN)
-        else:
-            payload = crypto.encrypt_append(bytes(out), key, salt, disk_end)
-    else:
-        payload = bytes(out)
-    if multipart:
-        # one new part per transaction (reference: parts are rsync-friendly
-        # append units; `m`/consolidate merges them); -chunk caps each
-        # part's size, continuing the numbering mid-transaction
-        pieces = ([payload[i:i + chunk] for i in range(0, len(payload),
-                                                       chunk)]
-                  if chunk else [payload])
-        for k, piece in enumerate(pieces):
-            with open(part_namer(len(parts) + 1 + k), "wb") as f:
-                f.write(piece)
-    elif not path.exists():
-        if tmp:
-            tpath = path.with_name(path.name + ".tmp")
-            tpath.write_bytes(payload)
-            tpath.replace(path)
-        else:
-            path.write_bytes(payload)
-    else:
-        with open(path, "r+b") as f:
-            if trimmed:
-                f.truncate(disk_end)
-            f.seek(0, 2)
-            f.write(payload)
-    if index_path:
-        from .index import INDEX_MAGIC, INDEX_HEADER_LEN
-        ipath = pathlib.Path(index_path)
-        if not ipath.exists():
-            ipath.write_bytes(INDEX_MAGIC)
-        with open(ipath, "ab") as f:
-            f.write(bytes(ix))
-    return len(changed), len(new_ht), len(out)
+    out, ix = build_transaction(
+        date, jobs, d_blocks, changed, deleted, ext, file_sums,
+        planner.file_ptrs, planner.first_frag, franz=franz)
+    commit_transaction(ctx, out, ix, chunk=chunk, tmp=tmp,
+                       index_path=index_path)
+    return len(changed), len(planner.new_ht), len(out)
 
 
 def _under_any(name: str, roots: Sequence[str]) -> bool:
