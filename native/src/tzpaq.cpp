@@ -11,6 +11,8 @@
 #include <algorithm>
 #include <cassert>
 #include <cstdlib>
+#include <fcntl.h>
+#include <unistd.h>
 #ifdef __linux__
 #include <sys/mman.h>
 #endif
@@ -700,6 +702,101 @@ void Encoder::compress(int c) {
   }
 }
 
+// ---- archive sources and the buffered reader ------------------------------
+// (AES core lives in the C-ABI section below; forward-declare the entry.)
+extern "C" void tz_aes_ctr(const u8* key, int keylen, const u8* salt8,
+                           u8* buf, size_t n, u64 offset);
+
+FileSource::~FileSource() {
+  for (auto& p : parts)
+    if (p.fd >= 0) ::close(p.fd);
+}
+
+std::string FileSource::open(const char* const* paths, int nparts,
+                             const u8* key32) {
+  total = 0;
+  for (int i = 0; i < nparts; ++i) {
+    int fd = ::open(paths[i], O_RDONLY);
+    if (fd < 0) return std::string("cannot open ") + paths[i];
+    off_t sz = ::lseek(fd, 0, SEEK_END);
+    if (sz < 0) { ::close(fd); return std::string("cannot stat ") + paths[i]; }
+    parts.push_back({fd, (u64)sz});
+  }
+  enc = key32 != nullptr;
+  skip = 0;
+  if (enc) {
+    memcpy(key, key32, 32);
+    if (parts.empty() || parts[0].size < 32)
+      return "archive too short for salt header";
+    u8 salt[32];
+    if (::pread(parts[0].fd, salt, 32, 0) != 32) return "cannot read salt";
+    memcpy(iv8, salt, 8);
+    skip = 32;
+  }
+  cum.clear();
+  u64 at = 0;
+  for (auto& p : parts) { cum.push_back(at); at += p.size; }
+  total = at >= skip ? at - skip : 0;
+  return "";
+}
+
+size_t FileSource::pread(u64 pos, u8* dst, size_t n) {
+  // pos is logical plaintext space; on-disk offset shifts past the salt
+  if (pos >= total) return 0;
+  if (pos + n > total) n = (size_t)(total - pos);
+  u64 disk = pos + skip;
+  size_t got = 0;
+  while (got < n) {
+    // part containing disk offset
+    size_t pi = 0;
+    while (pi + 1 < parts.size() && cum[pi + 1] <= disk) ++pi;
+    u64 in_part = disk - cum[pi];
+    u64 avail = parts[pi].size - in_part;
+    size_t take = (size_t)std::min<u64>(n - got, avail);
+    if (take == 0) break;
+    ssize_t r = ::pread(parts[pi].fd, dst + got, take, (off_t)in_part);
+    if (r <= 0) break;
+    got += (size_t)r;
+    disk += (u64)r;
+    if ((size_t)r < take) break;
+  }
+  if (enc && got)
+    tz_aes_ctr(key, 32, iv8, dst, got, pos + skip);
+  return got;
+}
+
+int BufIn::refill() {
+  if (!src) return -1;
+  wbase = pos;
+  wlen = src->pread(pos, win.data(), win.size());
+  if (wlen == 0) return -1;
+  return win[(size_t)(pos++ - wbase)];
+}
+
+size_t BufIn::read(u8* dst, size_t n) {
+  if (mem) {
+    if (pos >= memn) return 0;
+    size_t take = (size_t)std::min<u64>(n, memn - pos);
+    memcpy(dst, mem + pos, take);
+    pos += take;
+    return take;
+  }
+  size_t got = 0;
+  // drain the window first, then read the tail straight from the source
+  if (pos >= wbase && pos < wbase + wlen) {
+    size_t take = std::min(n, (size_t)(wbase + wlen - pos));
+    memcpy(dst, win.data() + (size_t)(pos - wbase), take);
+    pos += take;
+    got = take;
+  }
+  if (got < n && src) {
+    size_t r = src->pread(pos, dst + got, n - got);
+    pos += r;
+    got += r;
+  }
+  return got;
+}
+
 }  // namespace tzpaq
 
 // ===========================================================================
@@ -723,14 +820,17 @@ struct Segment {
 };
 
 struct Stream {
-  const u8* data;
-  size_t n, pos;
+  BufIn in;                    // buffered cursor over the source
+  MemSource msrc;              // when opened over bytes
+  FileSource* fsrc = nullptr;  // when opened over files (owned)
+  std::vector<u8> keep;        // tzs_open copy-mode buffer (if any)
   std::string err;
   std::vector<Segment> segs;   // segments of the last decoded block
   Header hdr;
   u64 block_offset = 0;
 
-  int get() { return pos < n ? data[pos++] : -1; }
+  ~Stream() { delete fsrc; }
+  int get() { return in.get(); }
 };
 
 // scan for the next block via the 4 rolling hashes
@@ -751,8 +851,16 @@ bool find_block(Stream& s, Header& hd) {
   int level = s.get();
   if (level != 1 && level != 2) throw format_error("unsupported ZPAQ level");
   if (s.get() != 1) throw format_error("unsupported ZPAQL type");
-  size_t used = hd.parse(s.data + s.pos, s.n - s.pos);
-  s.pos += used;
+  // header = hsize[2] + hsize bytes; read it through the cursor so
+  // file-backed sources never need the whole archive mapped
+  int lo = s.get(), hi = s.get();
+  if (lo < 0 || hi < 0) throw format_error("truncated header");
+  size_t hsize = (size_t)lo + 256 * (size_t)hi;
+  std::vector<u8> hbuf(2 + hsize);
+  hbuf[0] = (u8)lo; hbuf[1] = (u8)hi;
+  if (s.in.read(hbuf.data() + 2, hsize) != hsize)
+    throw format_error("truncated header body");
+  hd.parse(hbuf.data(), hbuf.size());
   return true;
 }
 
@@ -787,8 +895,43 @@ extern "C" {
 
 void* tzs_open(const u8* data, size_t n) {
   Stream* s = new Stream();
-  s->data = data; s->n = n; s->pos = 0;
+  s->msrc.p = data; s->msrc.n = n;
+  s->in.use_mem(data, n);
   return s;
+}
+
+// File-backed (multipart, optionally encrypted) archive stream: the
+// InputArchive equivalent (zsfx.cpp:401-568). Memory is O(window), not
+// O(archive); key32 = stretched AES-256 key (scrypt runs in Python).
+// Returns NULL on open failure (tzs_open_error() has the message).
+static std::string g_open_err;
+const char* tzs_open_error() { return g_open_err.c_str(); }
+
+void* tzs_open_paths(const char* const* paths, int nparts, const u8* key32) {
+  FileSource* f = new FileSource();
+  std::string err = f->open(paths, nparts, key32);
+  if (!err.empty()) {
+    g_open_err = err;
+    delete f;
+    return nullptr;
+  }
+  Stream* s = new Stream();
+  s->fsrc = f;
+  s->in.use_src(f);
+  return s;
+}
+
+u64 tzs_size(void* h) { return ((Stream*)h)->in.size(); }
+
+// raw (already-decrypted) archive bytes at an absolute logical offset —
+// the device decode path uses this to fetch a block's coded byte range
+size_t tzs_read_raw(void* h, u64 pos, u8* dst, size_t n) {
+  Stream& s = *(Stream*)h;
+  u64 save = s.in.tell();
+  s.in.seek(pos);
+  size_t got = s.in.read(dst, n);
+  s.in.seek(save);
+  return got;
 }
 
 void tzs_close(void* h) { delete (Stream*)h; }
@@ -801,7 +944,7 @@ long tzs_read_block(void* hv) {
   Stream& s = *(Stream*)hv;
   s.segs.clear();
   try {
-    s.block_offset = s.pos;
+    s.block_offset = s.in.tell();
     if (!find_block(s, s.hdr)) return 0;
     Decoder dec;
     PostProc pp;
@@ -810,26 +953,24 @@ long tzs_read_block(void* hv) {
     std::string name, comment;
     while (read_filename(s, name)) {
       read_comment(s, comment);
+      dec.bin = &s.in;           // decoder advances the shared cursor
       if (first) {
-        dec.in = s.data; dec.inlen = s.n; dec.pos = s.pos;
         dec.init_block(s.hdr);
         pp.init(s.hdr.ph, s.hdr.pm, &sink);
         first = false;
       } else {
-        dec.pos = s.pos;
         dec.init_segment();
       }
       Segment seg;
       seg.filename = name;
       seg.comment = comment;
-      seg.offset = s.pos;
+      seg.offset = s.in.tell();
       size_t start = sink.size();
       for (;;) {
         int c = dec.decompress();
         pp.write(c);
         if (c == -1) break;
       }
-      s.pos = dec.pos;
       int c = s.get();
       if (c == 253) {
         seg.has_sha1 = true;
@@ -867,8 +1008,8 @@ int tzs_seg_sha1(void* h, size_t i, u8* out20) {
   memcpy(out20, s.sha1, 20);
   return 1;
 }
-u64 tzs_tell(void* h) { return ((Stream*)h)->pos; }
-void tzs_seek(void* h, u64 pos) { ((Stream*)h)->pos = pos; }
+u64 tzs_tell(void* h) { return ((Stream*)h)->in.tell(); }
+void tzs_seek(void* h, u64 pos) { ((Stream*)h)->in.seek(pos); }
 
 // One-call block compressor. header = serialized model header (hsize..),
 // ppblob = "psize[2] pcomp 0" or NULL, data fed through the coder after the

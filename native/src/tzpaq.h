@@ -119,18 +119,88 @@ struct Predictor {
   void train(Comp& cr, int y);
 };
 
-// ---- arithmetic decoder over an in-memory segment ----
+// ---- archive byte sources --------------------------------------------
+// The reference reads archives through InputArchive (zsfx.cpp:401-568):
+// seek-based, multipart-aware, AES-CTR-decrypting at the absolute file
+// offset. Source is that abstraction: a contiguous logical PLAINTEXT
+// space (the 32-byte salt header excluded) served by pread.
+struct Source {
+  virtual ~Source() {}
+  virtual u64 size() const = 0;
+  virtual size_t pread(u64 pos, u8* dst, size_t n) = 0;
+};
+
+struct MemSource : Source {
+  const u8* p = nullptr;
+  u64 n = 0;
+  u64 size() const override { return n; }
+  size_t pread(u64 pos, u8* dst, size_t want) override {
+    if (pos >= n) return 0;
+    size_t take = (size_t)((pos + want > n) ? n - pos : want);
+    memcpy(dst, p + pos, take);
+    return take;
+  }
+};
+
+// Multipart file-backed source with optional AES-256-CTR decrypt keyed by
+// the absolute on-disk offset (keystream counter = offset/16, matching
+// zsfx.cpp:455-465); memory stays O(1) regardless of archive size.
+struct FileSource : Source {
+  struct Part { int fd; u64 size; };
+  std::vector<Part> parts;
+  std::vector<u64> cum;       // cumulative logical start of each part
+  u64 total = 0;              // logical (post-salt) byte count
+  u64 skip = 0;               // 32 when encrypted (salt header in part 1)
+  bool enc = false;
+  u8 key[32];
+  u8 iv8[8];
+
+  ~FileSource() override;
+  // opens parts; if key32 != null, reads the salt from part 1.
+  // returns empty string on success, error text otherwise.
+  std::string open(const char* const* paths, int nparts, const u8* key32);
+  u64 size() const override { return total; }
+  size_t pread(u64 pos, u8* dst, size_t n) override;
+};
+
+// Buffered reader over a Source: the byte cursor every parser and the
+// arithmetic decoder pull from. In-memory sources keep the raw-pointer
+// fast path (zero copy, zero refills).
+struct BufIn {
+  Source* src = nullptr;
+  const u8* mem = nullptr;    // fast path (MemSource)
+  u64 memn = 0;
+  std::vector<u8> win;
+  u64 wbase = 0;              // logical offset of win[0]
+  size_t wlen = 0;
+  u64 pos = 0;                // logical cursor
+  static const size_t WIN = 1 << 20;
+
+  void use_mem(const u8* p, u64 n) { mem = p; memn = n; src = nullptr; }
+  void use_src(Source* s) { src = s; mem = nullptr; win.resize(WIN); wlen = 0; }
+  u64 size() const { return mem ? memn : (src ? src->size() : 0); }
+  int get() {
+    if (mem) return pos < memn ? mem[pos++] : -1;
+    if (pos >= wbase && pos < wbase + wlen) return win[(size_t)(pos++ - wbase)];
+    return refill();
+  }
+  int refill();                           // slow path: fetch next window
+  size_t read(u8* dst, size_t n);         // bulk read at cursor
+  void seek(u64 p) { pos = p; }
+  u64 tell() const { return pos; }
+};
+
+// ---- arithmetic decoder over a buffered source ----
 // Semantics: libzpaq.cpp:2082-2173.
 struct Decoder {
-  const u8* in = nullptr;
-  size_t inlen = 0, pos = 0;
+  BufIn* bin = nullptr;
   u32 low = 1, high = 0xFFFFFFFFu, curr = 0;
   Predictor pr;
 
   void init_block(const Header& hd);  // predictor init, once per block
   void init_segment();                // coder state reset, per segment
   int decompress();                   // one byte or -1 at EOS
-  int get() { return pos < inlen ? in[pos++] : -1; }
+  int get() { return bin->get(); }
 
  private:
   int decode(int p);

@@ -112,18 +112,17 @@ def _use_device(sw) -> bool:
 
 
 def _load_index(archive: str, sw):
-    from .jidac.index import read_archive
-    data = _read_archive_bytes(archive)
-    key = _key(sw)
-    if key is not None:
-        from .codec import crypto
-        data = crypto.decrypt_archive(data, key)
-    elif data and not (data[:4] == b"7kSt"
-                       or (data[:3] == b"zPQ" and len(data) > 3
-                           and data[3] >= 1)):
-        raise ValueError(
-            "not a zpaq archive (or encrypted: use -key PASSWORD)")
-    return data, read_archive(data, until=_until(sw))
+    """Open the archive as a streaming source and scan its index.
+
+    Memory is O(index) + O(window) regardless of archive size: the source
+    is file-backed (seek + decrypt-at-offset, native FileSource) and the
+    scan skips d blocks via the c-block csize jump. Returns
+    (ArchiveSource, Jidac); every downstream consumer (extract/verify/
+    device decode) pulls block ranges through the source."""
+    from .jidac.archive_io import ArchiveSource
+    from .jidac.index import read_archive_src
+    src = ArchiveSource.from_spec(archive, key=_key(sw))
+    return src, read_archive_src(src, until=_until(sw))
 
 
 def cmd_add(archive, files, sw) -> int:
@@ -200,7 +199,7 @@ def cmd_list(archive, files, sw) -> int:
                   f"{date[8:10]}:{date[10:12]}:{date[12:14]}")
         print(f"- {pretty} {_fmt_size(d.size):>15}  {n}")
         total += max(d.size, 0)
-    stored = len(data)
+    stored = data.size()
     print(f"{len(names):,} files, {_fmt_size(total)} bytes "
           f"-> {_fmt_size(stored)} stored"
           + (f" ({stored * 100.0 / total:.1f}%)" if total else ""))
@@ -212,7 +211,7 @@ def cmd_info(archive, files, sw) -> int:
     print(f"{archive}: {len(jd.ver) - 1} versions, "
           f"{sum(1 for d in jd.dt.values() if d.date):,} files, "
           f"{len(jd.ht) - 1:,} fragments, {len(jd.block):,} blocks, "
-          f"{_fmt_size(len(data))} bytes")
+          f"{_fmt_size(data.size())} bytes")
     return 0
 
 
@@ -364,13 +363,16 @@ def cmd_paranoid(archive, files, sw) -> int:
 
 def cmd_trim(archive, files, sw) -> int:
     """Remove any trailing data after the last complete transaction."""
-    data, jd = _load_index(archive, sw)
+    from .codec import crypto
+    src, jd = _load_index(archive, sw)
     end = jd.csize
-    if end < len(data):
+    size = src.size()
+    shift = crypto.SALT_LEN if _key(sw) is not None else 0
+    if end < size:
         with open(archive, "r+b") as f:
-            f.truncate(end)
-        print(f"trimmed {len(data) - end} trailing bytes "
-              f"({len(data)} -> {end})")
+            f.truncate(end + shift)
+        print(f"trimmed {size - end} trailing bytes "
+              f"({size} -> {end})")
     else:
         print("nothing to trim")
     return 0
@@ -382,14 +384,17 @@ def cmd_crop(archive, files, sw) -> int:
     if until is None:
         print("crop requires -until N", file=sys.stderr)
         return 2
-    data, jd = _load_index(archive, {})
+    src, jd = _load_index(archive, sw)
     if until >= len(jd.ver) - 1:
         print(f"archive already has {len(jd.ver) - 1} versions")
         return 0
+    from .codec import crypto
     end = jd.ver[until + 1].offset if until + 1 < len(jd.ver) else jd.csize
+    shift = crypto.SALT_LEN if _key(sw) is not None else 0
+    size = src.size()
     with open(archive, "r+b") as f:
-        f.truncate(end)
-    print(f"cropped to version {until}: {len(data)} -> {end} bytes")
+        f.truncate(end + shift)
+    print(f"cropped to version {until}: {size} -> {end} bytes")
     return 0
 
 
@@ -649,7 +654,7 @@ def cmd_dump(archive, files, sw) -> int:
     """Dump the archive's block map: jDC names, offsets, sizes, fragment
     ranges (diagnostic; the reference's dump command)."""
     data, jd = _load_index(archive, sw)
-    print(f"{len(data):,} bytes, {len(jd.ver) - 1} versions, "
+    print(f"{data.size():,} bytes, {len(jd.ver) - 1} versions, "
           f"{len(jd.ht) - 1} fragments, {len(jd.block)} d-blocks, "
           f"{sum(1 for d in jd.dt.values() if d.date)} files")
     for vi, v in enumerate(jd.ver[1:], 1):

@@ -165,25 +165,42 @@ def open_for_append(archive: str, key: Optional[str] = None,
                     index_path: Optional[str] = None) -> AppendCtx:
     """Load the existing index (trimming a trailing bad transaction per the
     reference default, CHANGELOG.md:360-376) and capture crypto/multipart
-    state for the final append."""
+    state for the final append.
+
+    The index scan streams through a file-backed source (decrypt-at-offset,
+    d blocks skipped via csize jumps), so appending to a TB-scale archive
+    needs O(index) memory — the archive is never read into RAM except in
+    the rare damaged-tail probe."""
     from ..codec import crypto
+    from .archive_io import ArchiveSource
     parts, part_namer = expand_parts(archive)
     multipart = part_namer is not None
-    existing = b"".join(pathlib.Path(p).read_bytes() for p in parts)
+    existing_len = sum(os.path.getsize(p) for p in parts)
     path = pathlib.Path(parts[-1]) if parts else pathlib.Path(
         part_namer(1) if multipart else archive)
     salt = None
-    plain = existing
     if key is not None:
-        if existing:
-            salt = existing[:crypto.SALT_LEN]
-            plain = crypto.decrypt_archive(existing, key)
+        if existing_len:
+            with open(parts[0], "rb") as f:
+                salt = f.read(crypto.SALT_LEN)
+            if len(salt) < crypto.SALT_LEN:
+                raise AddError("archive too short for salt header")
         else:
             salt = crypto.new_salt()
-            plain = b""
     trimmed = 0
-    if plain:
-        jd = read_archive(plain)
+    if existing_len:
+        src = ArchiveSource(
+            paths=parts,
+            key32=crypto.stretch_key(key, salt) if key is not None else None)
+        if key is not None:
+            head = src.read_range(0, 4)
+            ok = (head[:4] == b"7kSt"
+                  or (head[:3] == b"zPQ" and len(head) > 3 and head[3] >= 1))
+            if not ok:
+                raise AddError("password incorrect (bad archive magic)")
+        from .index import read_archive_src
+        jd = read_archive_src(src)
+        plain_len = src.size()
         if not notrim and not multipart:
             # Auto-trim of a trailing bad transaction (reference default,
             # CHANGELOG.md:360-376). Three damage shapes:
@@ -194,18 +211,25 @@ def open_for_append(archive: str, key: Optional[str] = None,
             #    skip-and-continue already read past it)
             #  - a half-written transaction (c/d/h landed, i did not):
             #    drop the dangling version entirely
-            cut = min(jd.csize, len(plain))
-            if jd.errors and 0 <= jd.first_error < cut:
-                probe = read_archive(plain[:jd.first_error])
-                if probe.errors == 0 and probe.csize == jd.first_error:
-                    cut, jd = jd.first_error, probe
-            while (len(jd.ver) > 1 and jd.ver[-1].csize >= 0
-                   and jd.ver[-1].updates == 0 and jd.ver[-1].deletes == 0):
-                cut = jd.ver[-1].offset
-                jd = read_archive(plain[:cut])
-            if cut < len(plain):
-                trimmed = len(plain) - cut
-                plain = plain[:cut]
+            cut = min(jd.csize, plain_len)
+            needs_probe = (jd.errors and 0 <= jd.first_error < cut) or (
+                len(jd.ver) > 1 and jd.ver[-1].csize >= 0
+                and jd.ver[-1].updates == 0 and jd.ver[-1].deletes == 0)
+            if needs_probe:
+                # rare damaged-tail path: probing prefixes needs sliced
+                # re-scans, so materialize the plaintext once
+                plain = src.bytes()
+                if jd.errors and 0 <= jd.first_error < cut:
+                    probe = read_archive(plain[:jd.first_error])
+                    if probe.errors == 0 and probe.csize == jd.first_error:
+                        cut, jd = jd.first_error, probe
+                while (len(jd.ver) > 1 and jd.ver[-1].csize >= 0
+                       and jd.ver[-1].updates == 0
+                       and jd.ver[-1].deletes == 0):
+                    cut = jd.ver[-1].offset
+                    jd = read_archive(plain[:cut])
+            if cut < plain_len:
+                trimmed = plain_len - cut
     elif index_path and pathlib.Path(index_path).exists():
         # remote-archive mode: dedup against the detached index alone
         jd = read_archive(pathlib.Path(index_path).read_bytes())
@@ -213,7 +237,7 @@ def open_for_append(archive: str, key: Optional[str] = None,
         jd = Jidac()
     return AppendCtx(archive=archive, jd=jd, parts=parts,
                      part_namer=part_namer, path=path,
-                     existing_len=len(existing), trimmed=trimmed,
+                     existing_len=existing_len, trimmed=trimmed,
                      salt=salt, key=key)
 
 

@@ -20,6 +20,7 @@ import pathlib
 from typing import Dict, List, Optional, Sequence, Tuple
 
 from .. import native
+from .archive_io import ArchiveSource, as_source
 from .index import Block, Jidac, fragment_to_block
 
 
@@ -27,9 +28,14 @@ class ExtractError(RuntimeError):
     pass
 
 
-def _decode_block(data: bytes, blk: Block) -> bytes:
-    """Decode one d block to its concatenated fragment bytes."""
-    with native.NativeStream(data) as s:
+def _decode_block(src, blk: Block) -> bytes:
+    """Decode one d block to its concatenated fragment bytes.
+
+    ``src``: bytes or ArchiveSource. Each call opens its own cursor, so the
+    thread pool decodes blocks concurrently with O(block) memory each
+    (reference decompressThread keeps a per-thread InputArchive handle,
+    zsfx.cpp:1741)."""
+    with as_source(src).stream() as s:
         s.seek(blk.offset)
         segs = s.read_block()
     if not segs:
@@ -83,14 +89,16 @@ def select_files(jd: Jidac, patterns: Sequence[str]) -> List[str]:
     return sorted(out)
 
 
-def extract(data: bytes, jd: Jidac, to_dir: str,
+def extract(data, jd: Jidac, to_dir: str,
             patterns: Sequence[str] = (), threads: int = 0,
             dry_run: bool = False, use_device: bool = False
             ) -> Tuple[int, int]:
     """Extract selected files under ``to_dir``. Returns (files, bytes).
 
+    ``data``: archive bytes or a streaming ArchiveSource.
     ``use_device``: decode modeled blocks as batched lanes on the JAX
     device (TPU) instead of host threads (parallel/engine.py)."""
+    data = as_source(data)
     names = select_files(jd, patterns)
     needed_blocks: Dict[int, Block] = {}
     for n in names:
@@ -142,7 +150,7 @@ def extract(data: bytes, jd: Jidac, to_dir: str,
     return len(names), total
 
 
-def verify_archive(data: bytes, jd: Jidac, threads: int = 0,
+def verify_archive(data, jd: Jidac, threads: int = 0,
                    use_device: bool = False) -> Tuple[int, int]:
     """Integrity test: decode every block, verify every fragment SHA-1
     (the reference 't' command's phase 1). Returns (blocks, fragments).
@@ -151,6 +159,7 @@ def verify_archive(data: bytes, jd: Jidac, threads: int = 0,
     SHA-1 kernel (ops/hash_batched.py) instead of hashing on host
     threads — the TPU mapping of the reference's multithreaded CRC/SHA
     rebuild (reference CHANGELOG.md:73-76)."""
+    data = as_source(data)
     threads = threads or min(32, (os.cpu_count() or 4))
     if use_device:
         return _verify_archive_device(data, jd, threads)
@@ -166,7 +175,7 @@ def verify_archive(data: bytes, jd: Jidac, threads: int = 0,
     return len(jd.block), nfrag
 
 
-def _verify_archive_device(data: bytes, jd: Jidac,
+def _verify_archive_device(data, jd: Jidac,
                            threads: int) -> Tuple[int, int]:
     """Decode blocks on host threads, verify fragment SHA-1s on device.
 

@@ -157,7 +157,7 @@ def is_index(data: bytes) -> bool:
 
 def read_archive(data: bytes, until: Optional[int] = None,
                  collect_errors: bool = False) -> Jidac:
-    """Single pass over the archive building the Jidac index.
+    """Single pass over in-memory archive bytes building the Jidac index.
 
     ``until``: version count (small int) or date (YYYYMMDDHHMMSS) to roll
     back to, as the reference's -until (zsfx.cpp:1438-1443).
@@ -166,13 +166,25 @@ def read_archive(data: bytes, until: Optional[int] = None,
     for an index the c-block csize jump is accounted but not seeked, since
     the d blocks are not present in the file.
     """
-    jd = Jidac()
     index_mode = is_index(data)
     if index_mode:
         data = data[INDEX_HEADER_LEN:]
-        jd.is_index = True
-    stream = native.NativeStream(data)
-    block_offset = 0
+    return _read_archive_stream(native.NativeStream(data), until, index_mode)
+
+
+def read_archive_src(src, until: Optional[int] = None) -> Jidac:
+    """Streaming index scan over an ArchiveSource: memory is O(index) —
+    d blocks are skipped via the c-block csize jump and file windows are
+    bounded (reference: ~400 B/file enumeration, CHANGELOG.md:763-765)."""
+    stream = src.stream()
+    return _read_archive_stream(stream, until, src.is_index)
+
+
+def _read_archive_stream(stream, until: Optional[int],
+                         index_mode: bool) -> Jidac:
+    jd = Jidac()
+    jd.is_index = index_mode
+    block_offset = stream.tell()
     data_offset = 0
     done = False
     try:

@@ -48,6 +48,15 @@ def _load():
     lib = C.CDLL(str(ensure_built()))
     lib.tzs_open.restype = C.c_void_p
     lib.tzs_open.argtypes = [C.c_char_p, C.c_size_t]
+    lib.tzs_open_paths.restype = C.c_void_p
+    lib.tzs_open_paths.argtypes = [C.POINTER(C.c_char_p), C.c_int,
+                                   C.c_char_p]
+    lib.tzs_open_error.restype = C.c_char_p
+    lib.tzs_size.restype = C.c_uint64
+    lib.tzs_size.argtypes = [C.c_void_p]
+    lib.tzs_read_raw.restype = C.c_size_t
+    lib.tzs_read_raw.argtypes = [C.c_void_p, C.c_uint64, C.c_char_p,
+                                 C.c_size_t]
     lib.tzs_close.argtypes = [C.c_void_p]
     lib.tzs_error.restype = C.c_char_p
     lib.tzs_error.argtypes = [C.c_void_p]
@@ -146,12 +155,43 @@ class NativeSegment:
 
 
 class NativeStream:
-    """Iterates blocks of an in-memory archive, decoding each fully."""
+    """Iterates blocks of an archive, decoding each fully.
 
-    def __init__(self, data: bytes):
+    Construct over in-memory bytes, or via :meth:`open_paths` over
+    (multipart, optionally encrypted) files — the reference InputArchive
+    model (zsfx.cpp:401-568): seek-based, O(window) memory, AES-CTR
+    decrypted at the absolute offset."""
+
+    def __init__(self, data: Optional[bytes], _h=None):
         self._lib = _load()
-        self._buf = bytes(data)  # keep alive
-        self._h = self._lib.tzs_open(self._buf, len(self._buf))
+        if _h is not None:
+            self._buf = None
+            self._h = _h
+        else:
+            self._buf = bytes(data)  # keep alive
+            self._h = self._lib.tzs_open(self._buf, len(self._buf))
+
+    @classmethod
+    def open_paths(cls, paths, key32: Optional[bytes] = None
+                   ) -> "NativeStream":
+        """File-backed stream over archive part files in order.
+        key32 = stretched 32-byte AES key (codec.crypto.stretch_key)."""
+        lib = _load()
+        arr = (C.c_char_p * len(paths))(
+            *[str(p).encode() for p in paths])
+        h = lib.tzs_open_paths(arr, len(paths), key32)
+        if not h:
+            raise NativeError(lib.tzs_open_error().decode())
+        return cls(None, _h=h)
+
+    def size(self) -> int:
+        return self._lib.tzs_size(self._h)
+
+    def read_raw(self, pos: int, n: int) -> bytes:
+        """Raw (decrypted) archive bytes at an absolute offset."""
+        buf = C.create_string_buffer(n)
+        got = self._lib.tzs_read_raw(self._h, pos, buf, n)
+        return buf.raw[:got]
 
     def close(self):
         if self._h:

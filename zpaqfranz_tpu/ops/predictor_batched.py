@@ -425,17 +425,34 @@ class BatchedPredictor:
                     if active is not None:
                         need_scan = need_scan & active
 
+                    # Match extension: the reference walks byte-at-a-time
+                    # (while a<255 && ht(pos-a-1)==ht(pos-a-b-1) ++a,
+                    # libzpaq.cpp:2002-2007). A per-byte while_loop cost up
+                    # to 255 serial gather rounds in lockstep across lanes
+                    # (one long-match lane stalled every lane); instead,
+                    # compare W-byte rows and add the common-prefix run per
+                    # round — <= ceil(255/W) rounds, same final length.
+                    W = 64
+                    offs = jnp.arange(W, dtype=U32)
+
                     def scan_cond(carry):
-                        _, active = carry
-                        return jnp.any(active)
+                        _, act = carry
+                        return jnp.any(act)
 
                     def scan_body(carry):
-                        a_, active = carry
-                        i1 = ((pos1 - a_ - 1) & mask).astype(I32)
-                        i2 = ((pos1 - a_ - b - 1) & mask).astype(I32)
-                        eq = _gather(ht, i1) == _gather(ht, i2)
-                        grow = active & eq & (a_ < 255)
-                        return a_ + grow.astype(U32), grow
+                        a_, act = carry
+                        i1 = ((pos1[:, None] - a_[:, None] - 1
+                               - offs[None, :]) & mask).astype(I32)
+                        i2 = ((pos1[:, None] - a_[:, None] - b[:, None] - 1
+                               - offs[None, :]) & mask).astype(I32)
+                        eq = (jnp.take_along_axis(ht, i1, axis=1)
+                              == jnp.take_along_axis(ht, i2, axis=1))
+                        run = jnp.where(jnp.all(eq, axis=1), W,
+                                        jnp.argmin(eq, axis=1).astype(U32))
+                        grow = jnp.minimum(run, 255 - a_)
+                        a_n = a_ + jnp.where(act, grow, 0)
+                        act2 = act & (run >= W) & (a_n < 255)
+                        return a_n, act2
 
                     a_scan, _ = jax.lax.while_loop(
                         scan_cond, scan_body,

@@ -122,20 +122,29 @@ def parse_block_payload(data: bytes, offset: int
     return model, r.pos, bytes(r.data[r.pos:])
 
 
-def decode_jidac_blocks(data: bytes, jd, blocks,
+def decode_jidac_blocks(data, jd, blocks,
                         use_device: bool = True) -> Dict[int, bytes]:
     """Decode jidac d blocks -> {block.offset: concatenated fragment bytes}.
+
+    ``data``: archive bytes or a streaming ArchiveSource — each block's
+    coded bytes are fetched as one bounded range (bsize from the h block),
+    so device decode of a TB archive never maps more than the blocks in
+    flight.
 
     Modeled blocks sharing one model run as device lanes (the device yields
     the pre-postprocessing stream up to EOS; PASS stripping or PCOMP
     inversion runs host-native over it). Store-mode blocks use the host
     engine directly.
     """
+    from ..jidac.archive_io import as_source
+    src = as_source(data)
     groups: Dict[bytes, List] = {}
     host_blocks = []
     metas = {}
     for blk in blocks:
-        model, start, payload = parse_block_payload(data, blk.offset)
+        n = blk.bsize if blk.bsize else max(0, src.size() - blk.offset)
+        raw = src.read_range(blk.offset, n)
+        model, start, payload = parse_block_payload(raw, 0)
         metas[blk.offset] = (model, payload)
         if use_device and model.n > 0:
             groups.setdefault(model.header_bytes(), []).append(blk)
