@@ -119,25 +119,32 @@ def test_list_memory_is_o_index(tmp_path):
     add("big.zpaq", ["corpus"], method="0", date=_DATE)
     arc_mb = (tmp_path / "big.zpaq").stat().st_size / (1 << 20)
     assert arc_mb > 150
+    # ru_maxrss is useless here (Linux accounts the pre-exec parent's peak
+    # into the child), so instead the child CAPS its address space after
+    # imports: the 1 MB-window scan fits in the 100 MB headroom, while any
+    # whole-archive materialization (190 MB) would MemoryError.
     code = (
-        "import resource, sys\n"
+        "import resource\n"
         "from zpaqfranz_tpu.jidac.archive_io import ArchiveSource\n"
         "from zpaqfranz_tpu.jidac.index import read_archive_src\n"
+        "vmsize = 0\n"
+        "for line in open('/proc/self/status'):\n"
+        "    if line.startswith('VmSize'):\n"
+        "        vmsize = int(line.split()[1]) * 1024\n"
+        "cap = vmsize + (100 << 20)\n"
+        "resource.setrlimit(resource.RLIMIT_AS, (cap, cap))\n"
         "src = ArchiveSource.from_spec('big.zpaq')\n"
         "jd = read_archive_src(src)\n"
         "assert sum(1 for d in jd.dt.values() if d.date) == 8\n"
-        "print(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss)\n"
+        "print('ok')\n"
     )
     env = dict(os.environ)
     repo = str(pathlib.Path(__file__).resolve().parent.parent)
     # PYTHONPATH pinned to the repo alone: site hooks (e.g. TPU plugin
-    # preloaders) would measure their own RSS, not the scan's
+    # preloaders) would blow the cap on their own
     env["PYTHONPATH"] = repo
     env["JAX_PLATFORMS"] = "cpu"
     r = subprocess.run([sys.executable, "-c", code], cwd=tmp_path, env=env,
                        capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stderr
-    peak_mb = int(r.stdout.strip()) / 1024  # ru_maxrss is KiB on Linux
-    # interpreter + numpy baseline is ~40 MB; the scan over a 190 MB
-    # archive must stay O(index) + O(1 MB window) on top of that
-    assert peak_mb < 120, f"peak RSS {peak_mb:.0f} MB"
+    assert r.stdout.strip() == "ok"
