@@ -1621,6 +1621,285 @@ static size_t lz77_core(const u8* in, size_t n, int fmt, int min_match,
   return w;   // bytes needed; caller re-calls with a bigger cap if > cap
 }
 
+// Scored LZ77 parse for the high-ratio settings: secondary context order
+// (N4) searched first, lookahead (N7) that lets the first bytes of a match
+// be coded as literals, and a suffix-array search mode (N6 == N1+21).
+// Algorithm per the documented semantics (libzpaq.h:154-175) and the
+// reference parse (libzpaq.cpp:6330-6448): candidates are scored
+// 8*(match bytes) - lg(offset) - literal-break penalties, the best
+// positive score wins, SA candidates decay 5/8 per lookahead step.
+// Stream formats are identical to lz77_core (fmt 1 packed / 2 byte).
+static size_t lz77_scored_core(const u8* in, size_t n, int fmt,
+                               int min_match, int min_match2, int lookahead,
+                               int depth_log, int hash_bits, int use_sa,
+                               int rb, u8* out, size_t cap) {
+  if (fmt == 1 && min_match < 4) min_match = 4;
+  if (min_match < 1) min_match = 1;
+  const size_t max_match = size_t(1) << 16;
+  // ---- emitters (same stream formats as lz77_core) ----
+  size_t w = 0;
+  auto put = [&](u8 c) { if (w < cap) out[w] = c; ++w; };
+  u64 bbits = 0;
+  int bnb = 0;
+  auto putb = [&](u32 x, int k) {
+    bbits |= u64(k >= 32 ? x : (x & ((1u << k) - 1))) << bnb;
+    bnb += k;
+    while (bnb > 7) { put(u8(bbits)); bbits >>= 8; bnb -= 8; }
+  };
+  size_t lit_start = 0;
+  auto flush_literals = [&](size_t upto) {
+    size_t lit = upto - lit_start;
+    if (fmt == 1) {
+      if (lit >= 1) {
+        putb(0, 2);
+        int ll = lg32(u32(lit)) - 1;
+        while (--ll >= 0) { putb(1, 1); putb((u32(lit) >> ll) & 1, 1); }
+        putb(0, 1);
+        for (size_t j = upto - lit; j < upto; ++j) putb(in[j], 8);
+      }
+    } else {
+      while (lit > 0) {
+        size_t l1 = lit > 64 ? 64 : lit;
+        put(u8(l1 - 1));
+        for (size_t j = upto - lit; j < upto - lit + l1; ++j) put(in[j]);
+        lit -= l1;
+      }
+    }
+    lit_start = upto;
+  };
+  auto emit_match = [&](size_t len, size_t off) {
+    if (fmt == 1) {
+      int ll = lg32(u32(len)) - 1;
+      off += (size_t(1) << rb) - 1;
+      int lo = lg32(u32(off)) - 1 - rb;
+      putb(u32(lo + 8) >> 3, 2);
+      putb(u32(lo) & 7, 3);
+      while (--ll >= 2) { putb(1, 1); putb((u32(len) >> ll) & 1, 1); }
+      putb(0, 1);
+      putb(u32(len) & 3, 2);
+      putb(u32(off), rb);
+      putb(u32(off >> rb), lo);
+      return;
+    }
+    --off;
+    while (len > 0) {
+      size_t mm = size_t(min_match);
+      size_t len1 = len > mm * 2 + 63 ? mm + 63
+                  : len > mm + 63 ? len - mm : len;
+      if (off < (1u << 16)) {
+        put(u8(64 + len1 - mm)); put(u8(off >> 8)); put(u8(off));
+      } else if (off < (1u << 24)) {
+        put(u8(128 + len1 - mm)); put(u8(off >> 16)); put(u8(off >> 8));
+        put(u8(off));
+      } else {
+        put(u8(192 + len1 - mm)); put(u8(off >> 24)); put(u8(off >> 16));
+        put(u8(off >> 8)); put(u8(off));
+      }
+      len -= len1;
+    }
+  };
+  auto fwd_len = [&](size_t p, size_t i, size_t from) -> size_t {
+    size_t lim = n - i;
+    if (lim > max_match) lim = max_match;
+    size_t l = from;
+    while (l + 8 <= lim) {
+      uint64_t a, b;
+      memcpy(&a, in + p + l, 8);
+      memcpy(&b, in + i + l, 8);
+      uint64_t x = a ^ b;
+      if (x) return l + (__builtin_ctzll(x) >> 3);
+      l += 8;
+    }
+    while (l < lim && in[p + l] == in[i + l]) ++l;
+    return l;
+  };
+  const int bucket = depth_log > 0 ? (1 << depth_log) : 1;
+  size_t i = 0;
+  size_t lit = 0;  // pending literal count (scoring cares if nonzero)
+
+  if (use_sa) {
+    // ---- suffix-array mode: exact longest/closest candidates ----
+    static thread_local i32* sa_buf = nullptr;
+    static thread_local u32* isa_buf = nullptr;
+    static thread_local size_t sa_cap = 0;
+    if (sa_cap < n) {
+      free(sa_buf); free(isa_buf);
+      sa_buf = (i32*)malloc(n * 4);
+      isa_buf = (u32*)malloc(n * 4);
+      sa_cap = (sa_buf && isa_buf) ? n : 0;
+      if (!sa_cap) {  // OOM: all-literals fallback keeps the stream valid
+        flush_literals(0);
+        lit_start = 0;
+        flush_literals(n);
+        if (fmt == 1 && bnb > 0) put(u8(bbits));
+        return w;
+      }
+    }
+    if (n) sais_u8(in, sa_buf, (i32)n);
+    for (size_t j = 0; j < n; ++j) isa_buf[sa_buf[j]] = (u32)j;
+    while (i < n) {
+      size_t blen = 0, bp = 0, blit = 0;
+      int bscore = 0;
+      for (int h = 0; h <= lookahead && i + h < n; ++h) {
+        size_t q = isa_buf[i + h];
+        for (int dir = -1; dir <= 1; dir += 2) {
+          for (int k = 1; k <= bucket; ++k) {
+            i64 qq = i64(q) + i64(dir) * k;
+            if (qq < 0 || qq >= i64(n)) break;
+            i64 ps = i64(sa_buf[qq]) - h;
+            if (ps < 0 || size_t(ps) >= i) continue;
+            size_t p = size_t(ps);
+            size_t l = fwd_len(p, i, h);
+            size_t l1 = h;
+            while (l1 > 0 && in[p + l1 - 1] == in[i + l1 - 1]) --l1;
+            int score = int(l - l1) * 8 - lg32(u32(i - p))
+                        - 4 * (lit == 0 && l1 > 0) - 11;
+            for (int a = 0; a < h; ++a) score = score * 5 / 8;
+            if (score > bscore) { blen = l; bp = p; blit = l1;
+                                  bscore = score; }
+            if (l < blen || l < size_t(min_match) || l > 255) break;
+          }
+        }
+        if (bscore <= 0 || blen < size_t(min_match)) break;
+      }
+      size_t off = i - bp;
+      int extra = fmt == 2
+          ? (off >= (1u << 16)) + (off >= (1u << 24)) : 0;
+      bool off_ok = fmt != 1
+          || off <= (size_t(1) << (24 + rb)) - (size_t(1) << rb);
+      if (off > 0 && bscore > 0 && off_ok
+          && blen - blit >= size_t(min_match + extra)) {
+        flush_literals(i + blit);
+        emit_match(blen - blit, off);
+        i += blen;
+        lit_start = i;
+        lit = 0;
+      } else {
+        ++i;
+        ++lit;
+      }
+    }
+  } else {
+    // ---- hash mode with secondary context + lookahead ----
+    // rolling order-N context hashes in the reference's recurrence shape
+    // (libzpaq.cpp:6436-6443): which positions collide is a quality knob,
+    // not a format property
+    int hb = hash_bits;
+    if (hb < 12) hb = 12;
+    if (hb > 27) hb = 27;
+    const u32 hmask = (u32(1) << hb) - 1;
+    const int shift1 = min_match > 0 ? (hb - 1) / min_match + 1 : 1;
+    const int shift2 = min_match2 > 0 ? (hb - 1) / min_match2 + 1 : 0;
+    static thread_local u32* ht1 = nullptr;  // pos+1 (0 = empty)
+    static thread_local u32* ht2 = nullptr;
+    static thread_local size_t ht_cap = 0;
+    size_t want = size_t(hmask) + 1;
+    if (ht_cap < want) {
+      free(ht1); free(ht2);
+      ht1 = (u32*)malloc(want * 4);
+      ht2 = (u32*)malloc(want * 4);
+      ht_cap = (ht1 && ht2) ? want : 0;
+      if (!ht_cap) {
+        flush_literals(n);
+        if (fmt == 1 && bnb > 0) put(u8(bbits));
+        return w;
+      }
+    }
+    memset(ht1, 0, want * 4);
+    if (min_match2) memset(ht2, 0, want * 4);
+    u32 h1 = 0, h2 = 0;
+    const int mmboth = (min_match > min_match2 + lookahead
+                        ? min_match : min_match2 + lookahead) + 4;
+    while (i < n) {
+      size_t blen = size_t(min_match) - 1, bp = 0, blit = 0;
+      int bscore = 0;
+      bool found = false;
+      if (min_match2 > 0) {
+        for (int k = 0; k < bucket; ++k) {
+          u32 e = ht2[(h2 ^ u32(k)) & hmask];
+          if (!e) continue;
+          size_t p = e - 1;
+          if (p >= i) continue;
+          // cheap reject: the byte that would extend the current best
+          if (i + blen >= n || in[p + blen - 1] != in[i + blen - 1])
+            continue;
+          size_t l = fwd_len(p, i, size_t(lookahead));
+          if (l >= size_t(min_match2 + lookahead)) {
+            size_t l1 = size_t(lookahead);
+            while (l1 > 0 && in[p + l1 - 1] == in[i + l1 - 1]) --l1;
+            int score = int(l - l1) * 8 - lg32(u32(i - p))
+                        - 8 * (lit == 0 && l1 > 0) - 11;
+            if (score > bscore) { blen = l; bp = p; blit = l1;
+                                  bscore = score; found = true; }
+          }
+          if (blen >= 128) break;
+        }
+      }
+      if (!min_match2 || blen < size_t(min_match2)) {
+        for (int k = 0; k < bucket; ++k) {
+          u32 e = ht1[(h1 ^ u32(k)) & hmask];
+          if (!e) continue;
+          size_t p = e - 1;
+          if (p >= i) continue;
+          if (i + blen >= n || in[p + blen - 1] != in[i + blen - 1])
+            continue;
+          size_t l = fwd_len(p, i, 0);
+          int score = int(l) * 8 - lg32(u32(i - p)) - 2 * (lit > 0) - 11;
+          if (score > bscore) { blen = l; bp = p; blit = 0;
+                                bscore = score; found = true; }
+          if (blen >= 128) break;
+        }
+      }
+      size_t off = i - bp;
+      int extra = fmt == 2
+          ? (off >= (1u << 16)) + (off >= (1u << 24)) : 0;
+      bool off_ok = fmt != 1
+          || off <= (size_t(1) << (24 + rb)) - (size_t(1) << rb);
+      size_t adv;
+      bool matched = found && off > 0 && bscore > 0 && off_ok
+          && blen - blit >= size_t(min_match + extra);
+      if (matched) {
+        flush_literals(i + blit);
+        emit_match(blen - blit, off);
+        adv = blen;
+        lit = 0;
+      } else {
+        adv = 1;
+        ++lit;
+      }
+      // insert every covered position and roll the context hashes
+      // (the reference's while(blen--) maintenance loop)
+      for (size_t j = 0; j < adv; ++j, ++i) {
+        if (i + mmboth < n) {
+          u32 ih = u32((i * 1234547u) >> 19) & u32(bucket - 1);
+          if (min_match2) {
+            ht2[(h2 ^ ih) & hmask] = u32(i + 1);
+            h2 = ((h2 * 9) << shift2)
+                 + (u32(in[i + min_match2 + lookahead]) + 1) * 23456789u;
+            h2 &= hmask;
+          }
+          ht1[(h1 ^ ih) & hmask] = u32(i + 1);
+          h1 = ((h1 * 5) << shift1)
+               + (u32(in[i + min_match]) + 1) * 123456791u;
+          h1 &= hmask;
+        }
+      }
+      if (matched) lit_start = i;
+    }
+  }
+  if (lit_start < n) flush_literals(n);
+  if (fmt == 1 && bnb > 0) put(u8(bbits));
+  return w;
+}
+
+size_t tz_lz77_parse(const u8* in, size_t n, int fmt, int min_match,
+                     int min_match2, int lookahead, int depth_log,
+                     int hash_bits, int use_sa, int rb,
+                     u8* out, size_t cap) {
+  return lz77_scored_core(in, n, fmt, min_match, min_match2, lookahead,
+                          depth_log, hash_bits, use_sa, rb, out, cap);
+}
+
 size_t tz_lz77_encode(const u8* in, size_t n, int min_match, int depth_log,
                       int hash_bits, u8* out, size_t cap) {
   return lz77_core(in, n, 2, min_match, depth_log, hash_bits, 0, out, cap);

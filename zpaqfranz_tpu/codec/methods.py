@@ -556,8 +556,10 @@ def level_method(level: int, block_arg: int = 4, ease: int = 128,
         # the spec's "typical good values for fast compression"
         # (libzpaq.h:156-160)
         return f"x{b}.{1 + e89}.5.0.3.22"
-    if level == 2:                      # packed LZ77, deeper search, same
-        return f"x{b}.{1 + e89}.4.0.8.24"   # decode speed (libzpaq.h:101)
+    if level == 2:                      # packed LZ77, suffix-array search,
+        # same decode speed as -m1 (libzpaq.h:101); N6 = N1+21 selects the
+        # SA finder, "good values are x4.1.4.0.8.25" (libzpaq.h:166-170)
+        return f"x{b}.{1 + e89}.4.0.8.{b + 21}"
     if level == 3:                      # BWT + low-order chain
         return f"x{b}.{3 + e89}ci1"
     if level == 4:                      # CM: order chain + match + word

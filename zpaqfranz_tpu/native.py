@@ -103,6 +103,10 @@ def _load():
     lib.tz_lz77_encode.restype = C.c_size_t
     lib.tz_lz77_encode.argtypes = [C.c_char_p, C.c_size_t, C.c_int, C.c_int,
                                    C.c_int, C.c_char_p, C.c_size_t]
+    lib.tz_lz77_parse.restype = C.c_size_t
+    lib.tz_lz77_parse.argtypes = [C.c_char_p, C.c_size_t, C.c_int, C.c_int,
+                                  C.c_int, C.c_int, C.c_int, C.c_int,
+                                  C.c_int, C.c_int, C.c_char_p, C.c_size_t]
     lib.tz_cdc.restype = C.c_size_t
     lib.tz_cdc.argtypes = [C.c_char_p, C.c_size_t, C.c_int,
                            C.POINTER(C.c_uint32), C.c_size_t]
@@ -303,6 +307,26 @@ def lz77_encode(data: bytes, min_match: int = 6, depth_log: int = 4,
         out = C.create_string_buffer(need)
         need = lib.tz_lz77_encode(data, len(data), min_match, depth_log,
                                   hash_bits, out, need)
+    return out.raw[:need]
+
+
+def lz77_parse(data: bytes, fmt: int, min_match: int, min_match2: int = 0,
+               lookahead: int = 0, depth_log: int = 3, hash_bits: int = 22,
+               use_sa: bool = False, rb: int = 0) -> bytes:
+    """Scored LZ77 parse: secondary context (N4), lookahead (N7), and
+    suffix-array search (N6 == N1+21) — the reference's high-ratio settings
+    (libzpaq.h:154-175 semantics). fmt 1 = packed, 2 = byte-aligned."""
+    lib = _load()
+    cap = len(data) + len(data) // 8 + 1024
+    out = C.create_string_buffer(cap)
+    need = lib.tz_lz77_parse(data, len(data), fmt, min_match, min_match2,
+                             lookahead, depth_log, hash_bits,
+                             1 if use_sa else 0, rb, out, cap)
+    if need > cap:
+        out = C.create_string_buffer(need)
+        need = lib.tz_lz77_parse(data, len(data), fmt, min_match, min_match2,
+                                 lookahead, depth_log, hash_bits,
+                                 1 if use_sa else 0, rb, out, need)
     return out.raw[:need]
 
 

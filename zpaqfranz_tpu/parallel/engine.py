@@ -220,12 +220,25 @@ def prepare_payload(pre, payload: bytes) -> Tuple[bytes, bool]:
         if looks_incompressible(payload):
             return payload, True
         src = native.e8e9_transform(payload) if pre.e8e9 else payload
-        if pre.transform == 1:
+        rb = max(0, pre.block_bits - 24)
+        if pre.min_match2 or pre.lookahead or pre.use_sa:
+            # high-ratio settings: scored parse with secondary context /
+            # lookahead / suffix-array search (reference N4/N6/N7,
+            # libzpaq.h:154-175)
+            lz = native.lz77_parse(
+                src, pre.transform,
+                min_match=max(4 if pre.transform == 1 else 1,
+                              pre.min_match),
+                min_match2=pre.min_match2, lookahead=pre.lookahead,
+                depth_log=max(1, pre.depth_log),
+                hash_bits=max(12, min(pre.hash_bits or 22, 27)),
+                use_sa=pre.use_sa, rb=rb)
+        elif pre.transform == 1:
             lz = native.lz77p_encode(
                 src, min_match=max(4, pre.min_match),
                 depth_log=max(1, pre.depth_log),
                 hash_bits=max(12, min(pre.hash_bits or 22, 27)),
-                rb=max(0, pre.block_bits - 24))
+                rb=rb)
         else:
             lz = native.lz77_encode(
                 src, min_match=max(1, pre.min_match),
