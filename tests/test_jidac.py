@@ -265,3 +265,38 @@ def test_tmp_write_rename(tree, tmp_path, monkeypatch):
     assert arc.exists() and not (tmp_path / "t.zpaq.tmp").exists()
     jd = read_archive(arc.read_bytes())
     assert len(jd.ver) == 2
+
+
+def test_add_verify_during_encode(tmp_path):
+    """setVerify analog: -verify inverts every transformed block through
+    its stored pcomp during compression (libzpaq.h:513-531 semantics)."""
+    import os
+    os.chdir(tmp_path)
+    (tmp_path / "t").mkdir()
+    (tmp_path / "t" / "a.txt").write_bytes(b"invertible content " * 5000)
+    from zpaqfranz_tpu.jidac.add import add
+    n, frags, nbytes = add("v.zpaq", ["t"], method="1", verify=True,
+                           date=20260102030405)
+    assert n == 1 and nbytes > 0
+    from zpaqfranz_tpu.jidac.index import read_archive
+    jd = read_archive((tmp_path / "v.zpaq").read_bytes())
+    assert len(jd.block) >= 1
+
+
+def test_715_pure_zpaq_attrs(tmp_path):
+    """-715 writes pure-zpaq attr bytes: no franz checksum record
+    (reference CHANGELOG.md:484)."""
+    import os
+    os.chdir(tmp_path)
+    (tmp_path / "t").mkdir()
+    (tmp_path / "t" / "a.txt").write_bytes(b"pure zpaq " * 1000)
+    from zpaqfranz_tpu.jidac.add import add
+    from zpaqfranz_tpu.jidac.index import read_archive
+    add("f.zpaq", ["t"], method="1", date=20260102030405)
+    add("p.zpaq", ["t"], method="1", date=20260102030405, franz="715")
+    jf = read_archive((tmp_path / "f.zpaq").read_bytes())
+    jp = read_archive((tmp_path / "p.zpaq").read_bytes())
+    df, dp = jf.dt["t/a.txt"], jp.dt["t/a.txt"]
+    assert df.crc32 is not None and df.xxh64 is not None
+    assert dp.crc32 is None and b"fz" not in dp.attr_raw
+    assert len(dp.attr_raw) == 3      # the base unix attr bytes alone

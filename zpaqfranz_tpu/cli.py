@@ -142,7 +142,9 @@ def cmd_add(archive, files, sw) -> int:
                                  key=_key(sw), use_device=_use_device(sw),
                                  index_path=sw.get("index", [None])[0],
                                  chunk=chunk, notrim="notrim" in sw,
-                                 tmp="tmp" in sw)
+                                 tmp="tmp" in sw,
+                                 franz="715" if "715" in sw else "xxhash64",
+                                 verify="verify" in sw)
     dt = time.time() - t0
     print(f"{nfiles} files added, {nfrags} fragments, "
           f"{_fmt_size(nbytes)} bytes in {dt:.2f}s")

@@ -122,9 +122,14 @@ _STORE_MODEL = Model(hh=0, hm=0)
 
 
 def _compress_d_block(model: Optional[Model], pre, job: _Job,
-                      date: int) -> bytes:
+                      date: int, verify: bool = False) -> bytes:
     """Host-path d-block compression: the same prepare_payload decision
-    as the device lanes (parallel/engine.py), coded by the native engine."""
+    as the device lanes (parallel/engine.py), coded by the native engine.
+
+    ``verify``: run the postprocessor inverse over the transformed payload
+    and compare against the original before writing — the analog of the
+    reference Compressor::setVerify (libzpaq.h:513-531), which round-trips
+    the preprocessor during compression instead of after the fact."""
     from ..parallel.engine import prepare_payload
     comment = b"%d jDC\x01" % len(job.data)
     name = _jdc_name(date, "d", job.first_frag)
@@ -132,9 +137,26 @@ def _compress_d_block(model: Optional[Model], pre, job: _Job,
     payload, store = prepare_payload(pre, raw)
     if store:
         return native.compress_block(_STORE_MODEL, raw, name, comment)
+    if verify:
+        verify_payload(model, pre, raw, payload, job.first_frag)
     if model is None:
         model = _STORE_MODEL
     return native.compress_block(model, payload, name, comment)
+
+
+def verify_payload(model: Optional[Model], pre, raw: bytes, payload: bytes,
+                   first_frag: int) -> None:
+    """setVerify analog: invert the preprocessor via the SAME stored pcomp
+    the decoder will run, and require byte equality with the original."""
+    blob = model.pcomp_bytes() if model is not None else b""
+    prefix = (b"\x01" + blob) if blob else b"\x00"
+    ph = model.ph if model is not None else 0
+    pm = model.pm if model is not None else 0
+    back = native.postprocess(ph, pm, prefix + payload, out_hint=len(raw))
+    if back != raw:
+        raise AddError(
+            f"verify failed: block at fragment {first_frag} does not "
+            f"invert ({len(back)} vs {len(raw)} bytes)")
 
 
 # ---------------------------------------------------------------------------
@@ -479,7 +501,8 @@ def add(archive: str, files: Sequence[str], method: str = "1",
         chunk: int = 0,
         notrim: bool = False,
         tmp: bool = False,
-        franz: str = "xxhash64") -> Tuple[int, int, int]:
+        franz: str = "xxhash64",
+        verify: bool = False) -> Tuple[int, int, int]:
     """Append one transaction. Returns (files added, frags added, bytes).
 
     index_path: also append the transaction's c/h/i blocks (no d data) to
@@ -494,7 +517,9 @@ def add(archive: str, files: Sequence[str], method: str = "1",
     existing archive stay in-place — crash safety there comes from the
     transactional format + auto-trim).
     franz: per-file checksum record format ('xxhash64' binary record or
-    '715' for pure-zpaq attrs, reference -715, CHANGELOG.md:484)."""
+    '715' for pure-zpaq attrs, reference -715, CHANGELOG.md:484).
+    verify: invert every transformed block through its stored pcomp during
+    compression (Compressor::setVerify analog, libzpaq.h:513-531)."""
     ctx = open_for_append(archive, key=key, notrim=notrim,
                           index_path=index_path)
     jd = ctx.jd
@@ -539,18 +564,20 @@ def add(archive: str, files: Sequence[str], method: str = "1",
                     jobs.append(job)
                     if pipeline_host:
                         d_futs.append(cx.submit(
-                            _compress_d_block, model, pre, job, date))
+                            _compress_d_block, model, pre, job, date,
+                            verify))
         tail = planner.finish()
         if tail is not None:
             jobs.append(tail)
             if pipeline_host:
                 d_futs.append(cx.submit(_compress_d_block, model, pre, tail,
-                                        date))
+                                        date, verify))
 
         # ---- compress d blocks: device lanes or pipelined host threads ----
         if not pipeline_host:
             from ..parallel.engine import encode_jidac_blocks
-            d_blocks = encode_jidac_blocks(model, pre, jobs, date, _jdc_name)
+            d_blocks = encode_jidac_blocks(model, pre, jobs, date, _jdc_name,
+                                           verify=verify)
         else:
             d_blocks = [f.result() for f in d_futs]
     finally:

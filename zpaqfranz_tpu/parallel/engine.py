@@ -282,7 +282,7 @@ _STORE_MODEL = Model(hh=0, hm=0)
 
 
 def encode_jidac_blocks(model: Model, pre, jobs, date: int,
-                        jdc_name) -> List[bytes]:
+                        jdc_name, verify: bool = False) -> List[bytes]:
     """Compress jidac d-block jobs as device lanes; returns framed blocks.
 
     Adaptive store runs per job with the same decision function as the
@@ -303,6 +303,9 @@ def encode_jidac_blocks(model: Model, pre, jobs, date: int,
         if store:
             out[i] = native.compress_block(_STORE_MODEL, raw, name, comment)
         else:
+            if verify:
+                from ..jidac.add import verify_payload
+                verify_payload(model, pre, raw, payload, job.first_frag)
             lane_idx.append(i)
             payloads.append(prefix + payload)
     if payloads:
