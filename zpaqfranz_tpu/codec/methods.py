@@ -669,9 +669,53 @@ def e8e9_pcomp_source() -> str:
   halt"""
 
 
+def config_file_model(method: str) -> Optional[Tuple[Optional[Model],
+                                                     PreSpec]]:
+    """ZPAQL config file as a method: ``path[,arg1..,arg9]`` names a .cfg
+    source compiled with the config-language compiler (grammar documented
+    at libzpaq.h:475-716); $1..$9 substitute the comma arguments. Returns
+    None when ``method`` is not a config-file reference.
+
+    Configs that declare an external ``pcomp CMD ;`` preprocessor are
+    decode-complete (the PCOMP program is stored in the archive) but
+    cannot encode here — running arbitrary preprocessor commands is the
+    zpaqd workflow, refused with a clear error."""
+    import pathlib
+    name = method.split(",")[0]
+    if not name or (name[0].isdigit() or name in ("x", "s")):
+        return None
+    cand = None
+    for p in (name, name + ".cfg"):
+        if pathlib.Path(p).is_file():
+            cand = p
+            break
+    if cand is None:
+        if name.endswith(".cfg") or "/" in name:
+            raise MethodError(f"config file not found: {name!r}")
+        return None
+    args = [int(x) for x in method.split(",")[1:]] if "," in method else []
+    from ..zpaql.compiler import compile_config
+    model, pcomp_cmd = compile_config(
+        pathlib.Path(cand).read_text(), args=args)
+    if pcomp_cmd and pcomp_cmd.strip():
+        raise MethodError(
+            f"config {cand!r} needs external preprocessor "
+            f"{pcomp_cmd!r}; encode with built-in methods, decode works")
+    pre = PreSpec(transform=0, block_bits=24)
+    if model.n == 0 and not model.pcomp:
+        return None, pre
+    return model, pre
+
+
 def make_model(method: str, n_components_hint: Optional[int] = None
                ) -> Tuple[Optional[Model], PreSpec]:
-    """Compile a method string into (Model or None for store, PreSpec)."""
+    """Compile a method string into (Model or None for store, PreSpec).
+
+    ``method`` is a level digit (0-5), an x/s grammar string, or a ZPAQL
+    config-file reference (``path[,args]``)."""
+    cfg = config_file_model(method)
+    if cfg is not None:
+        return cfg
     cmds = parse_method(method)
     if not cmds:
         raise MethodError(f"empty method {method!r}")
