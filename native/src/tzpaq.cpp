@@ -574,11 +574,31 @@ int Decoder::decompress() {
 }
 
 // ---- postprocessor (libzpaq.cpp:2175-2233) --------------------------------
+
+namespace {
+struct KnownPcomp {
+  std::vector<u8> code;   // trailing 0 stripped
+  int kind, p1, p2;
+};
+std::vector<KnownPcomp> g_known_pcomps;
+}  // namespace
+
+void register_pcomp(const u8* code, size_t len, int kind, int p1, int p2) {
+  while (len && code[len - 1] == 0) --len;
+  for (auto& k : g_known_pcomps)
+    if (k.code.size() == len && memcmp(k.code.data(), code, len) == 0)
+      return;
+  g_known_pcomps.push_back({std::vector<u8>(code, code + len),
+                            kind, p1, p2});
+}
+
 void PostProc::init(int ph_, int pm_, Sink* out_) {
   state = hsize = 0;
   ph = ph_; pm = pm_;
   out = out_;
   pcomp.clear();
+  fast_kind = 0;
+  fbuf.clear();
 }
 
 void PostProc::write(int c) {
@@ -610,15 +630,133 @@ void PostProc::write(int c) {
       if ((int)pcomp.size() == hsize) {
         size_t codelen = pcomp.size();
         if (codelen && pcomp[codelen - 1] == 0) --codelen;
-        vm.init(pcomp.data(), codelen, ph, pm);
-        vm.out = out;
+        fast_kind = FAST_NONE;
+        for (auto& k : g_known_pcomps) {
+          if (k.code.size() == codelen
+              && memcmp(k.code.data(), pcomp.data(), codelen) == 0) {
+            fast_kind = k.kind;
+            fast_p1 = k.p1;
+            fast_p2 = k.p2;
+            break;
+          }
+        }
+        if (fast_kind == FAST_NONE) {
+          vm.init(pcomp.data(), codelen, ph, pm);
+          vm.out = out;
+        }
         state = 5;
       }
       break;
     case 5:
-      vm.run(c >= 0 ? u32(c) : 0xFFFFFFFFu);
+      if (fast_kind != FAST_NONE) {
+        if (c >= 0) {
+          fbuf.push_back(u8(c));
+        } else {
+          apply_fast();
+          fbuf.clear();
+        }
+      } else {
+        vm.run(c >= 0 ? u32(c) : 0xFFFFFFFFu);
+      }
       break;
   }
+}
+
+// byte-aligned LZ77 inverse (stream format libzpaq.cpp:6211-6222)
+static void ilz77_byte(const u8* in, size_t n, int min_match, Sink* out) {
+  size_t i = 0;
+  std::vector<u8>& v = out->v;
+  size_t base = v.size();
+  while (i < n) {
+    u8 c = in[i++];
+    if (c < 64) {                       // literal run of (c&63)+1
+      size_t len = size_t(c) + 1;
+      if (i + len > n) len = n - i;
+      v.insert(v.end(), in + i, in + i + len);
+      i += len;
+    } else {
+      int nb = (c >> 6) + 1;            // 2..4 offset bytes, big endian
+      size_t off = 0;
+      for (int j = 0; j < nb && i < n; ++j) off = (off << 8) | in[i++];
+      size_t len = size_t(c & 63) + min_match;
+      size_t start = v.size() - off - 1;
+      if (start + base > v.size() + base) break;   // corrupt: stop
+      for (size_t j = 0; j < len; ++j) v.push_back(v[start + j]);
+    }
+  }
+}
+
+// BWT inverse: the exact algorithm the stored pcomp runs
+// (codec/methods.py bwt_pcomp_source; stream per libzpaq.cpp:6317-6327:
+// B[0..n] = last column with the sentinel row's byte replaced by 255 at
+// row idx, then idx as 4 LSB-first bytes), executed at memory speed.
+static void ibwt(const u8* in, size_t total, Sink* out) {
+  if (total < 5) { return; }
+  size_t n = total - 5;                 // original length
+  size_t rows = n + 1;                  // column rows 0..n
+  u32 idx = u32(in[n + 1]) | (u32(in[n + 2]) << 8)
+          | (u32(in[n + 3]) << 16) | (u32(in[n + 4]) << 24);
+  if (idx > n) throw format_error("bad BWT index");
+  if (n == 0) return;
+  // count occurrences, skipping the sentinel row
+  u32 base[256] = {0};
+  for (size_t b = 0; b < rows; ++b)
+    if (b != idx) ++base[in[b]];
+  // exclusive prefix sums offset by 1 (sentinel = sorted row 0)
+  u32 acc = 1;
+  for (int ch = 0; ch < 256; ++ch) {
+    u32 c = base[ch];
+    base[ch] = acc;
+    acc += c;
+  }
+  // psi: successor permutation — psi[base[B[b]]++] = b
+  std::vector<u32> psi(rows);
+  for (size_t b = 0; b < rows; ++b) {
+    if (b == idx) continue;
+    psi[base[in[b]]++] = u32(b);
+  }
+  // walk n rows from idx, emitting the column byte at each step
+  std::vector<u8>& v = out->v;
+  size_t start = v.size();
+  v.resize(start + n);
+  u32 r = idx;
+  for (size_t k = 0; k < n; ++k) {
+    r = psi[r];
+    v[start + k] = in[r];
+  }
+}
+
+extern "C" size_t tz_lz77p_decode(const u8* in, size_t n, int rb,
+                                  u8* out, size_t cap);
+
+void PostProc::apply_fast() {
+  size_t start = out->v.size();
+  switch (fast_kind) {
+    case FAST_LZ77P: {
+      // packed stream: size via a dry call, then decode into the sink
+      size_t need = tz_lz77p_decode(fbuf.data(), fbuf.size(), fast_p1,
+                                    nullptr, 0);
+      out->v.resize(start + need);
+      tz_lz77p_decode(fbuf.data(), fbuf.size(), fast_p1,
+                      out->v.data() + start, need);
+      break;
+    }
+    case FAST_LZ77B:
+      ilz77_byte(fbuf.data(), fbuf.size(), fast_p1, out);
+      break;
+    case FAST_BWT:
+      ibwt(fbuf.data(), fbuf.size(), out);
+      break;
+    case FAST_E8E9:
+      out->v.insert(out->v.end(), fbuf.begin(), fbuf.end());
+      break;
+    default:
+      throw format_error("unknown fast pcomp kind");
+  }
+  // composite transforms (N2=5/6/7): E8E9 was applied BEFORE LZ77/BWT on
+  // encode, so its inverse runs over the transform's output
+  if (fast_p2 || fast_kind == FAST_E8E9)
+    inverse_e8e9(out->v.data() + start, i64(out->v.size() - start));
 }
 
 // ---- preprocessors --------------------------------------------------------
@@ -922,6 +1060,14 @@ void* tzs_open_paths(const char* const* paths, int nparts, const u8* key32) {
 }
 
 u64 tzs_size(void* h) { return ((Stream*)h)->in.size(); }
+
+// Register a known PCOMP program for the native fast inverse (see
+// PostProc fast path in tzpaq.h): kind 1 = packed LZ77 (p1 = rb),
+// 2 = byte LZ77 (p1 = min match), 3 = BWT, 4 = E8E9; p2 = composite E8E9.
+void tz_register_pcomp(const u8* code, size_t len, int kind, int p1,
+                       int p2) {
+  register_pcomp(code, len, kind, p1, p2);
+}
 
 // raw (already-decrypted) archive bytes at an absolute logical offset —
 // the device decode path uses this to fetch a block's coded byte range

@@ -207,13 +207,26 @@ struct Decoder {
 };
 
 // ---- postprocessor ----
+// Known-pcomp fast path: the stored PCOMP programs our encoder emits
+// (LZ77 packed/byte, BWT, E8E9, and their composites) are recognized by
+// bytecode equality and inverted by native C++ transforms instead of the
+// per-byte ZPAQL VM — the reference's "-m1 decodes as fast as it encodes"
+// property (libzpaq.h:100-103) comes from exactly this kind of fast
+// inverse. Unknown programs fall back to the VM (format truth).
+enum FastKind { FAST_NONE = 0, FAST_LZ77P = 1, FAST_LZ77B = 2,
+                FAST_BWT = 3, FAST_E8E9 = 4 };
+void register_pcomp(const u8* code, size_t len, int kind, int p1, int p2);
+
 struct PostProc {
   int state = 0, hsize = 0, ph = 0, pm = 0;
   std::vector<u8> pcomp;
   VM vm;
   Sink* out = nullptr;
+  int fast_kind = 0, fast_p1 = 0, fast_p2 = 0;
+  std::vector<u8> fbuf;   // buffered segment stream when fast path active
   void init(int ph_, int pm_, Sink* out_);
   void write(int c);
+  void apply_fast();      // invert fbuf into out at segment end
 };
 
 // ---- arithmetic encoder ----

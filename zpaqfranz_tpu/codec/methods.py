@@ -669,6 +669,45 @@ def e8e9_pcomp_source() -> str:
   halt"""
 
 
+_FAST_REGISTERED = False
+
+
+def register_fast_pcomps() -> None:
+    """Teach the native engine this framework's stored PCOMP programs so
+    decode runs C++ inverses instead of the per-byte ZPAQL VM.
+
+    The reference's "-m1/-m2 decode as fast as encode" property
+    (libzpaq.h:100-103) comes from LZ77 being trivially invertible; the
+    archive format however stores the inverse as a ZPAQL program, which an
+    interpreter executes at ~MB/s. Recognizing our own emitted bytecode
+    restores memcpy-class decode while unknown programs still take the VM
+    (the format truth). Registered: packed/byte LZ77 (all rb / common
+    min-match values), BWT, E8E9, and the E8E9 composites."""
+    global _FAST_REGISTERED
+    if _FAST_REGISTERED:
+        return
+    _FAST_REGISTERED = True
+    from .. import native
+    from ..zpaql.compiler import compile_config
+
+    def bytecode(body: str) -> bytes:
+        cfg = ("comp 0 0 0 0 0\nhcomp\n  halt\npcomp ;\n"
+               + body + "\nend\n")
+        model, _ = compile_config(cfg)
+        return model.pcomp
+
+    for e8 in (False, True):
+        for rb in range(0, 8):
+            native.register_pcomp(
+                bytecode(lz77p_pcomp_source(rb, e8e9=e8)), 1, rb, int(e8))
+        for mm in (1, 2, 3, 4, 5, 6, 7, 8, 10, 12, 16, 24, 32, 48, 63):
+            native.register_pcomp(
+                bytecode(lz77_pcomp_source(mm, e8e9=e8)), 2, mm, int(e8))
+        native.register_pcomp(bytecode(bwt_pcomp_source(e8e9=e8)),
+                              3, 0, int(e8))
+    native.register_pcomp(bytecode(e8e9_pcomp_source()), 4, 0, 0)
+
+
 def config_file_model(method: str) -> Optional[Tuple[Optional[Model],
                                                      PreSpec]]:
     """ZPAQL config file as a method: ``path[,arg1..,arg9]`` names a .cfg

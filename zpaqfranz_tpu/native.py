@@ -135,6 +135,8 @@ def _load():
                                   C.c_char_p]
     lib.tz_highway256.argtypes = [C.c_char_p, C.c_size_t, C.c_uint64 * 4,
                                   C.c_char_p]
+    lib.tz_register_pcomp.argtypes = [C.c_char_p, C.c_size_t, C.c_int,
+                                      C.c_int, C.c_int]
     lib.tz_install_tables.argtypes = [C.c_char_p] * 6
     lib.tz_install_tables(
         T.SNS.tobytes(),
@@ -145,7 +147,19 @@ def _load():
         T.DT2K.astype(np.int32).tobytes(),
     )
     _lib = lib
+    # teach the engine this framework's stored pcomp programs so decode of
+    # LZ77/BWT/E8E9 blocks runs native inverses instead of the ZPAQL VM
+    try:
+        from .codec.methods import register_fast_pcomps
+        register_fast_pcomps()
+    except Exception:
+        pass    # VM fallback still decodes everything correctly
     return lib
+
+
+def register_pcomp(code: bytes, kind: int, p1: int, p2: int) -> None:
+    """Register a known PCOMP bytecode for the native fast inverse."""
+    _load().tz_register_pcomp(code, len(code), kind, p1, p2)
 
 
 class NativeSegment:
