@@ -144,7 +144,9 @@ def cmd_add(archive, files, sw) -> int:
                                  chunk=chunk, notrim="notrim" in sw,
                                  tmp="tmp" in sw,
                                  franz="715" if "715" in sw else "xxhash64",
-                                 verify="verify" in sw)
+                                 verify="verify" in sw,
+                                 progress=(prog := _Progress(sw)))
+    prog.finish()
     dt = time.time() - t0
     print(f"{nfiles} files added, {nfrags} fragments, "
           f"{_fmt_size(nbytes)} bytes in {dt:.2f}s")
@@ -168,7 +170,9 @@ def cmd_extract(archive, files, sw) -> int:
     t0 = time.time()
     nfiles, nbytes = extract(data, jd, to, patterns=files,
                              threads=int(sw.get("threads", ["0"])[0]),
-                             use_device=_use_device(sw))
+                             use_device=_use_device(sw),
+                             progress=(prog := _Progress(sw)))
+    prog.finish()
     dt = time.time() - t0
     print(f"{nfiles} files, {_fmt_size(nbytes)} bytes extracted "
           f"in {dt:.2f}s ({nbytes / max(dt, 1e-9) / 1e6:.1f} MB/s)")
@@ -194,14 +198,20 @@ def cmd_list(archive, files, sw) -> int:
     data, jd = _load_index(archive, sw)
     names = _apply_filters(select_files(jd, files), sw)
     total = 0
+    csv = "csv" in sw
     for n in names:
         d = jd.dt[n]
         date = f"{d.date:014d}"
         pretty = (f"{date[0:4]}-{date[4:6]}-{date[6:8]} "
                   f"{date[8:10]}:{date[10:12]}:{date[12:14]}")
-        print(f"- {pretty} {_fmt_size(d.size):>15}  {n}")
+        if csv:
+            print(f'"{pretty}",{d.size},"{n}"')
+        else:
+            print(f"- {pretty} {_fmt_size(d.size):>15}  {n}")
         total += max(d.size, 0)
     stored = data.size()
+    if csv:
+        return 0
     print(f"{len(names):,} files, {_fmt_size(total)} bytes "
           f"-> {_fmt_size(stored)} stored"
           + (f" ({stored * 100.0 / total:.1f}%)" if total else ""))
@@ -1042,6 +1052,51 @@ PLAIN_PATH_COMMANDS = {
 NO_ARCHIVE_COMMANDS = {"autotest", "b", "bench"}
 
 
+class _Progress:
+    """1-second cadence progress/ETA line on stderr (the reference's
+    print_progress, zsfx.cpp:1638; CHANGELOG.md:78-79). Active on a tty or
+    with -verbose; silent under -summary/-terse."""
+
+    def __init__(self, sw):
+        self.enabled = (("verbose" in sw)
+                        or (sys.stderr.isatty() and "summary" not in sw
+                            and "terse" not in sw))
+        self.t0 = time.time()
+        self.last = 0.0
+        self.drawn = False
+
+    def __call__(self, done: int, total: int) -> None:
+        now = time.time()
+        if not self.enabled or not total or now - self.last < 1.0:
+            return
+        self.last = now
+        rate = done / max(now - self.t0, 1e-9)
+        eta = (total - done) / rate if rate > 0 else 0
+        print(f"\r{done * 100 // total:3d}% "
+              f"{done / 1e6:,.0f}/{total / 1e6:,.0f} MB "
+              f"{rate / 1e6:,.1f} MB/s ETA {eta:,.0f}s   ",
+              end="", file=sys.stderr)
+        self.drawn = True
+
+    def finish(self) -> None:
+        if self.drawn:
+            print(file=sys.stderr)
+
+
+def _log_error(sw, msg: str) -> None:
+    """Append to -errorlog FILE (reference CHANGELOG.md:480) and stderr."""
+    print(msg, file=sys.stderr)
+    path = sw.get("errorlog", [None])[0] if sw else None
+    if path:
+        import datetime
+        stamp = datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S")
+        try:
+            with open(path, "a") as f:
+                f.write(f"{stamp} {msg}\n")
+        except OSError:
+            pass
+
+
 def main(argv: Optional[Sequence[str]] = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     cmd, archive, files, sw = _parse_args(argv)
@@ -1058,16 +1113,36 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     if archive is None and not plain and cmd not in NO_ARCHIVE_COMMANDS:
         print("missing archive name", file=sys.stderr)
         return 2
+    # -out FILE redirects stdout; -appendoutput appends
+    # (reference CHANGELOG.md:156)
+    out_path = sw.get("out", [None])[0]
+    saved_stdout = None
+    if out_path:
+        saved_stdout = sys.stdout
+        sys.stdout = open(out_path,
+                          "a" if "appendoutput" in sw else "w")
+    t0 = time.time()
     try:
         arg0 = archive if plain else (_archive_path(archive)
                                       if archive else None)
-        return fn(arg0, files, sw)
+        rc = fn(arg0, files, sw)
+        if "stat" in sw:
+            # greppable stats lines (reference |STAT|, CHANGELOG.md:83-84)
+            print(f"|STAT| cmd={cmd} rc={rc} seconds={time.time() - t0:.3f}")
+        return rc
     except FileNotFoundError as e:
-        print(f"error: {e}", file=sys.stderr)
+        _log_error(sw, f"error: {e}")
         return 2
     except Exception as e:
-        print(f"error: {type(e).__name__}: {e}", file=sys.stderr)
+        if "debug" in sw or "debug2" in sw:
+            import traceback
+            traceback.print_exc()
+        _log_error(sw, f"error: {type(e).__name__}: {e}")
         return 2
+    finally:
+        if saved_stdout is not None:
+            sys.stdout.close()
+            sys.stdout = saved_stdout
 
 
 if __name__ == "__main__":

@@ -502,7 +502,8 @@ def add(archive: str, files: Sequence[str], method: str = "1",
         notrim: bool = False,
         tmp: bool = False,
         franz: str = "xxhash64",
-        verify: bool = False) -> Tuple[int, int, int]:
+        verify: bool = False,
+        progress=None) -> Tuple[int, int, int]:
     """Append one transaction. Returns (files added, frags added, bytes).
 
     index_path: also append the transaction's c/h/i blocks (no d data) to
@@ -519,7 +520,9 @@ def add(archive: str, files: Sequence[str], method: str = "1",
     franz: per-file checksum record format ('xxhash64' binary record or
     '715' for pure-zpaq attrs, reference -715, CHANGELOG.md:484).
     verify: invert every transformed block through its stored pcomp during
-    compression (Compressor::setVerify analog, libzpaq.h:513-531)."""
+    compression (Compressor::setVerify analog, libzpaq.h:513-531).
+    progress: optional callback(bytes_done, bytes_total), called between
+    files (the reference's 1-second console progress, zsfx.cpp:1638)."""
     ctx = open_for_append(archive, key=key, notrim=notrim,
                           index_path=index_path)
     jd = ctx.jd
@@ -556,10 +559,15 @@ def add(archive: str, files: Sequence[str], method: str = "1",
     d_futs: List["_fut.Future"] = []
     pipeline_host = not (use_device and model is not None and model.n > 0)
     try:
+        total_bytes = sum(ext[n][1] for n in changed)
+        done_bytes = 0
         with _fut.ThreadPoolExecutor(max_workers=hash_threads) as hx:
             for name, (data, sums, frags) in zip(
                     changed, hx.map(_digest_file, changed)):
                 file_sums[name] = sums
+                done_bytes += len(data)
+                if progress is not None:
+                    progress(done_bytes, total_bytes)
                 for job in planner.add_file(name, frags, data):
                     jobs.append(job)
                     if pipeline_host:

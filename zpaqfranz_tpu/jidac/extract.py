@@ -91,8 +91,8 @@ def select_files(jd: Jidac, patterns: Sequence[str]) -> List[str]:
 
 def extract(data, jd: Jidac, to_dir: str,
             patterns: Sequence[str] = (), threads: int = 0,
-            dry_run: bool = False, use_device: bool = False
-            ) -> Tuple[int, int]:
+            dry_run: bool = False, use_device: bool = False,
+            progress=None) -> Tuple[int, int]:
     """Extract selected files under ``to_dir``. Returns (files, bytes).
 
     ``data``: archive bytes or a streaming ArchiveSource.
@@ -123,9 +123,14 @@ def extract(data, jd: Jidac, to_dir: str,
         def work(blk: Block) -> Dict[int, bytes]:
             return _verify_fragments(jd, blk, _decode_block(data, blk))
 
+        total_u = sum(b.usize for b in blocks) or 1
+        done_u = 0
         with concurrent.futures.ThreadPoolExecutor(max_workers=threads) as ex:
-            for result in ex.map(work, blocks):
+            for blk, result in zip(blocks, ex.map(work, blocks)):
                 frag_bytes.update(result)
+                done_u += blk.usize
+                if progress is not None:
+                    progress(done_u, total_u)
 
     root = pathlib.Path(to_dir)
     total = 0
