@@ -300,3 +300,50 @@ def test_715_pure_zpaq_attrs(tmp_path):
     assert df.crc32 is not None and df.xxh64 is not None
     assert dp.crc32 is None and b"fz" not in dp.attr_raw
     assert len(dp.attr_raw) == 3      # the base unix attr bytes alone
+
+
+def test_add_resume_journal(tmp_path, monkeypatch):
+    """Block-granular encode resume: an interrupted add leaves a journal of
+    completed d blocks; the rerun reuses them (no recompression) and
+    produces the same archive bytes as an uninterrupted add."""
+    import os
+    import pathlib
+    import pytest
+    from zpaqfranz_tpu.jidac import add as jadd
+
+    os.chdir(tmp_path)
+    (tmp_path / "t").mkdir()
+    for i in range(3):
+        (tmp_path / "t" / f"f{i}.txt").write_bytes(
+            (b"resumable %d " % i) * 40000)
+        os.utime(tmp_path / "t" / f"f{i}.txt",
+                 (1_700_000_000 + i, 1_700_000_000 + i))
+    date = 20260102030405
+
+    # uninterrupted run for the reference bytes
+    jadd.add("ref.zpaq", ["t"], method="1", date=date)
+    ref = (tmp_path / "ref.zpaq").read_bytes()
+
+    # interrupted run: crash at commit, after compression
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before commit")
+    monkeypatch.setattr(jadd, "commit_transaction", boom)
+    with pytest.raises(RuntimeError):
+        jadd.add("r.zpaq", ["t"], method="1", date=date, resume=True)
+    monkeypatch.undo()
+    journal = tmp_path / "r.zpaq.resume"
+    assert journal.exists() and journal.stat().st_size > 100
+    assert not (tmp_path / "r.zpaq").exists()   # archive untouched
+
+    # rerun: every block must come from the journal
+    calls = []
+    real = jadd._compress_d_block
+
+    def counting(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+    monkeypatch.setattr(jadd, "_compress_d_block", counting)
+    jadd.add("r.zpaq", ["t"], method="1", date=date, resume=True)
+    assert calls == []                          # all blocks reused
+    assert not journal.exists()                 # cleaned after commit
+    assert (tmp_path / "r.zpaq").read_bytes() == ref

@@ -145,6 +145,7 @@ def cmd_add(archive, files, sw) -> int:
                                  tmp="tmp" in sw,
                                  franz="715" if "715" in sw else "xxhash64",
                                  verify="verify" in sw,
+                                 resume="resume" in sw,
                                  progress=(prog := _Progress(sw)))
     prog.finish()
     dt = time.time() - t0

@@ -489,6 +489,94 @@ def old_dedup_table(jd: Jidac) -> Dict[bytes, int]:
 
 
 # ---------------------------------------------------------------------------
+# Block-granular encode resume (SURVEY.md section 5 checkpoint/resume:
+# "block-granular encode resume (journal of completed blocks)")
+# ---------------------------------------------------------------------------
+
+class ResumeJournal:
+    """Crash-resumable encode: each compressed d block is appended to a
+    sidecar journal keyed by the job's fragment-hash identity. A rerun of
+    the same add (same tree, -resume) reuses completed blocks instead of
+    recompressing them; the journal is deleted once the transaction
+    commits. The archive itself stays untouched until commit, so the
+    existing transactional crash-safety is unchanged.
+
+    Record: identity[20] len[8 LE] block bytes. Header: magic, date,
+    method (packing must replay identically, so the original date is
+    pinned on resume)."""
+
+    MAGIC = b"zTPUresume\x01"
+
+    def __init__(self, path: pathlib.Path, date: int, method: str):
+        import threading
+        self.path = path
+        self.date = date
+        self.method = method
+        self.cache: Dict[bytes, bytes] = {}
+        self._lock = threading.Lock()
+        self._f = None
+
+    @classmethod
+    def load_or_create(cls, path, date: int, method: str) -> "ResumeJournal":
+        path = pathlib.Path(path)
+        j = None
+        if path.exists():
+            try:
+                raw = path.read_bytes()
+                if raw.startswith(cls.MAGIC):
+                    p = len(cls.MAGIC)
+                    jdate = struct.unpack("<q", raw[p:p + 8])[0]
+                    p += 8
+                    mlen = raw[p]
+                    jmethod = raw[p + 1:p + 1 + mlen].decode()
+                    p += 1 + mlen
+                    if jmethod == method:
+                        j = cls(path, jdate, method)
+                        while p + 28 <= len(raw):
+                            ident = raw[p:p + 20]
+                            (n,) = struct.unpack("<Q", raw[p + 20:p + 28])
+                            p += 28
+                            if p + n > len(raw):
+                                break      # truncated tail record: drop it
+                            j.cache[ident] = raw[p:p + n]
+                            p += n
+            except (OSError, ValueError, struct.error):
+                j = None
+        if j is None:
+            j = cls(path, date, method)
+            mb = method.encode()
+            path.write_bytes(cls.MAGIC + struct.pack("<q", date)
+                             + bytes([len(mb)]) + mb)
+        j._f = open(path, "ab")
+        return j
+
+    @staticmethod
+    def identity(job: "_Job") -> bytes:
+        import hashlib
+        h = hashlib.sha1()
+        for sha, usize in job.frags:
+            h.update(sha)
+        return h.digest()
+
+    def get(self, job: "_Job"):
+        return self.cache.get(self.identity(job))
+
+    def put(self, job: "_Job", block: bytes) -> None:
+        with self._lock:
+            self._f.write(self.identity(job) + struct.pack("<Q", len(block))
+                          + block)
+            self._f.flush()
+            os.fsync(self._f.fileno())
+
+    def done(self) -> None:
+        try:
+            self._f.close()
+            self.path.unlink()
+        except OSError:
+            pass
+
+
+# ---------------------------------------------------------------------------
 # The single-host add pipeline
 # ---------------------------------------------------------------------------
 
@@ -503,7 +591,8 @@ def add(archive: str, files: Sequence[str], method: str = "1",
         tmp: bool = False,
         franz: str = "xxhash64",
         verify: bool = False,
-        progress=None) -> Tuple[int, int, int]:
+        progress=None,
+        resume: bool = False) -> Tuple[int, int, int]:
     """Append one transaction. Returns (files added, frags added, bytes).
 
     index_path: also append the transaction's c/h/i blocks (no d data) to
@@ -522,7 +611,10 @@ def add(archive: str, files: Sequence[str], method: str = "1",
     verify: invert every transformed block through its stored pcomp during
     compression (Compressor::setVerify analog, libzpaq.h:513-531).
     progress: optional callback(bytes_done, bytes_total), called between
-    files (the reference's 1-second console progress, zsfx.cpp:1638)."""
+    files (the reference's 1-second console progress, zsfx.cpp:1638).
+    resume: journal completed d blocks to <archive>.resume so an
+    interrupted add continues where it stopped (block-granular encode
+    resume; the archive is untouched until the transaction commits)."""
     ctx = open_for_append(archive, key=key, notrim=notrim,
                           index_path=index_path)
     jd = ctx.jd
@@ -532,8 +624,15 @@ def add(archive: str, files: Sequence[str], method: str = "1",
 
     ext = scan_files(files)
     date = pick_date(jd, date)
+    journal = None
+    if resume:
+        journal = ResumeJournal.load_or_create(
+            pathlib.Path(str(ctx.path) + ".resume"), date, method)
+        date = journal.date          # pin packing to the original run
     changed, deleted = diff_index(jd, ext, files)
     if not changed and not deleted:
+        if journal is not None:
+            journal.done()
         return 0, 0, 0
 
     planner = FragmentPlanner(old_dedup_table(jd), len(jd.ht), block_cap)
@@ -549,6 +648,16 @@ def add(archive: str, files: Sequence[str], method: str = "1",
         data = pathlib.Path(name).read_bytes()
         frags, crc, xxh = native.digest_file(data, fragment_bits)
         return data, (crc, xxh), frags
+
+    def _compress_job(job: "_Job") -> bytes:
+        if journal is not None:
+            hit = journal.get(job)
+            if hit is not None:
+                return hit
+        blk = _compress_d_block(model, pre, job, date, verify)
+        if journal is not None:
+            journal.put(job, blk)
+        return blk
 
     file_sums: Dict[str, Tuple[int, int]] = {}
     # compression overlaps the digest scan: each d-block job is submitted
@@ -571,15 +680,12 @@ def add(archive: str, files: Sequence[str], method: str = "1",
                 for job in planner.add_file(name, frags, data):
                     jobs.append(job)
                     if pipeline_host:
-                        d_futs.append(cx.submit(
-                            _compress_d_block, model, pre, job, date,
-                            verify))
+                        d_futs.append(cx.submit(_compress_job, job))
         tail = planner.finish()
         if tail is not None:
             jobs.append(tail)
             if pipeline_host:
-                d_futs.append(cx.submit(_compress_d_block, model, pre, tail,
-                                        date, verify))
+                d_futs.append(cx.submit(_compress_job, tail))
 
         # ---- compress d blocks: device lanes or pipelined host threads ----
         if not pipeline_host:
@@ -596,6 +702,8 @@ def add(archive: str, files: Sequence[str], method: str = "1",
         planner.file_ptrs, planner.first_frag, franz=franz)
     commit_transaction(ctx, out, ix, chunk=chunk, tmp=tmp,
                        index_path=index_path)
+    if journal is not None:
+        journal.done()
     return len(changed), len(planner.new_ht), len(out)
 
 

@@ -342,6 +342,40 @@ def _window_staging(W: int) -> np.ndarray:
     return buf
 
 
+def bench_resident(total_mb: int = 64, nstate: int = 5) -> float:
+    """On-chip kernel throughput (GB/s) with device-resident data.
+
+    Separates the chip's hash rate from host<->device transfer (which on a
+    tunneled deployment has ~100 ms latency and ~10 MB/s readback): the
+    message words live in HBM, the kernel runs repeatedly, and only the
+    digests come back. This is the number comparable to the reference's
+    '>1 GB/s verify on NVMe' claim (README.md:169-171) — in production the
+    fragments are already on-device from the decode path."""
+    import time
+    import jax
+    import jax.numpy as jnp
+    W = 256                                     # blocks per lane
+    lanes = max(_LANES, (total_mb << 20) // (W * 64))
+    G = -(-lanes // _LANES)
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 256, (G * _LANES, W * 64), np.uint8)
+    nblk = np.full((G, 8, 128), W, np.int32)
+    iv = _SHA1_IV if nstate == 5 else _SHA256_IV
+    h = jax.device_put(np.broadcast_to(
+        iv[None, :, None, None], (G, nstate, 8, 128)).copy())
+    call = _build_call(nstate, W, False)
+    dd = jax.device_put(data)
+    nd = jax.device_put(nblk)
+    jax.block_until_ready(call(dd, nd, h))      # compile + warm
+    t0 = time.time()
+    reps = 3
+    for _ in range(reps):
+        out = call(dd, nd, h)
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    return (data.size * reps) / dt / 1e9
+
+
 def sha1_pallas(chunks: Sequence[bytes], interpret: bool = False
                 ) -> List[bytes]:
     """Batched SHA-1 digests (20 bytes each) on TPU."""
