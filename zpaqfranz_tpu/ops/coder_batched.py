@@ -171,7 +171,7 @@ def _emit(es: EncState, byte: jax.Array, go: jax.Array) -> EncState:
     # native scatter elsewhere — see predictor_batched._use_where
     from .predictor_batched import _use_where
     L, cap = es.out.shape
-    if _use_where(cap):
+    if _use_where(cap, L):
         cols = jnp.broadcast_to(jnp.arange(cap, dtype=I32)[None, :], (L, cap))
         m = (cols == es.cnt[:, None]) & go[:, None]
         out = jnp.where(m, byte.astype(U8)[:, None], es.out)

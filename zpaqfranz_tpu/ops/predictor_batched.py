@@ -93,23 +93,28 @@ def _midx(idx: jax.Array, active, size: int) -> jax.Array:
 # are not), so the strategy is backend-dependent at trace time;
 # ZPAQFRANZ_SCATTER=where|at overrides (tests cover both paths).
 _WHERE_MAX = 1 << 15
+# total-work budget: a where-pass touches L*S elements per op, so at high
+# lane counts even small tables lose to the serialized scatter (measured
+# on v5e: L=1024 with 32K tables went 10x slower via where-passes)
+_WHERE_BUDGET = 1 << 21
 
 
-def _use_where(S: int) -> bool:
+def _use_where(S: int, L: int = 64) -> bool:
     import os
     mode = os.environ.get("ZPAQFRANZ_SCATTER", "auto")
     if mode == "at":
         return False
     if mode == "where":
         return S <= _WHERE_MAX
-    return jax.default_backend() == "tpu" and S <= _WHERE_MAX
+    return (jax.default_backend() == "tpu" and S <= _WHERE_MAX
+            and L * S <= _WHERE_BUDGET)
 
 
 def _scatter1(tab: jax.Array, idx: jax.Array, val: jax.Array, active
               ) -> jax.Array:
     """Write val[l] at tab[l, idx[l]] for active lanes."""
     L, S = tab.shape
-    if _use_where(S):
+    if _use_where(S, L):
         cols = jax.lax.broadcasted_iota(I32, (L, S), 1)
         m = cols == idx.astype(I32)[:, None]
         if active is not None:
@@ -125,7 +130,7 @@ def _scatter_pair(tab: jax.Array, idx2: jax.Array, v0: jax.Array,
     """Write v0 at tab[l, 2*k] and v1 at tab[l, 2*k+1] where idx2 = 2*k
     (the ISSE weight-pair layout) in a single table pass."""
     L, S = tab.shape
-    if _use_where(S):
+    if _use_where(S, L):
         cols = jax.lax.broadcasted_iota(I32, (L, S), 1)
         mrow = (cols >> 1) == (idx2.astype(I32) >> 1)[:, None]
         if active is not None:
@@ -146,7 +151,7 @@ def _scatter_row(tab: jax.Array, base: jax.Array, row: jax.Array, active
     be W-aligned. Single pass via a (L, S/W, W) reshape when small."""
     L, S = tab.shape
     W = row.shape[1]
-    if _use_where(S) and S % W == 0:
+    if _use_where(S, L) and S % W == 0:
         t3 = tab.reshape(L, S // W, W)
         rows = jax.lax.broadcasted_iota(I32, (L, S // W), 1)
         m = rows == (base.astype(I32) // W)[:, None]

@@ -155,17 +155,25 @@ def decode_jidac_blocks(data, jd, blocks,
     coder = device_coder()
     for hdr, blks in groups.items():
         model = metas[blks[0].offset][0]
-        streams = [metas[b.offset][1] for b in blks]
-        # pre-postprocessing stream bound: BWT adds 5 bytes + the embedded
-        # PCOMP blob; LZ77 output is smaller than the original; PASS adds 1.
-        max_out = max(b.usize for b in blks) + 8192
-        decoded = coder.decode_streams(model, streams, max_out)
-        for b, d in zip(blks, decoded):
-            res = native.postprocess(model.ph, model.pm, d, out_hint=b.usize)
-            if len(res) < b.usize:
-                raise RuntimeError(
-                    f"block at {b.offset}: {len(res)} < {b.usize} bytes")
-            out[b.offset] = res
+        # group lanes by decoded-size bucket: the batched decoder scans to
+        # the GROUP max, so one big block must not make every small block
+        # pay its step count (mixed-size groups were worst-case wall clock)
+        by_size: Dict[int, List] = {}
+        for b in blks:
+            by_size.setdefault(_bucket(b.usize + 8192), []).append(b)
+        for max_out, sub in sorted(by_size.items()):
+            streams = [metas[b.offset][1] for b in sub]
+            # pre-postprocessing stream bound: BWT adds 5 bytes + the
+            # embedded PCOMP blob; LZ77 output is smaller than the
+            # original; PASS adds 1 — all inside the +8192 slack.
+            decoded = coder.decode_streams(model, streams, max_out)
+            for b, d in zip(sub, decoded):
+                res = native.postprocess(model.ph, model.pm, d,
+                                         out_hint=b.usize)
+                if len(res) < b.usize:
+                    raise RuntimeError(
+                        f"block at {b.offset}: {len(res)} < {b.usize} bytes")
+                out[b.offset] = res
 
     for blk in host_blocks:
         with native.NativeStream(data) as s:
