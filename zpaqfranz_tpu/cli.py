@@ -971,15 +971,73 @@ def cmd_sync(archive, files, sw) -> int:
     return 0 if not (new or changed or deleted) else 1
 
 
-def _zfs_stub(cmdname: str):
+def cmd_zfsbackup(archive, files, sw) -> int:
+    """Snapshot-consistent dataset backup: zfs snapshot + (incremental)
+    send stream appended to the archive (reference zfs family,
+    man/zpaqfranz.pod:115-122; CHANGELOG.md:962-982)."""
+    from .jidac.zfs import zfs_backup
+    if not files:
+        print("zfsbackup archive dataset [-full] [-key PW]", file=sys.stderr)
+        return 2
+    snap, nbytes = zfs_backup(archive, files[0], key=_key(sw),
+                              method=_method(sw), full="full" in sw)
+    print(f"snapshot {snap}: {_fmt_size(nbytes)} stream bytes archived")
+    return 0
+
+
+def cmd_zfsrestore(archive, files, sw) -> int:
+    from .jidac.zfs import zfs_restore
+    if not files:
+        print("zfsrestore archive dataset [-to DATASET] [-key PW]",
+              file=sys.stderr)
+        return 2
+    n = zfs_restore(archive, files[0], to=sw.get("to", [None])[0],
+                    key=_key(sw))
+    print(f"{n} streams received")
+    return 0
+
+
+def cmd_zfslist(archive, files, sw) -> int:
+    """List this tool's snapshots on a dataset (archive arg is the
+    dataset, matching the reference's positional grammar)."""
+    from .jidac.zfs import our_snapshots
+    ds = archive if archive else (files[0] if files else None)
+    if ds is None:
+        print("zfslist dataset", file=sys.stderr)
+        return 2
+    ds = ds.removesuffix(".zpaq")
+    for s_ in our_snapshots(ds):
+        print(s_)
+    return 0
+
+
+def cmd_zfspurge(archive, files, sw) -> int:
+    from .jidac.zfs import zfs_purge
+    ds = archive if archive else (files[0] if files else None)
+    if ds is None:
+        print("zfspurge dataset [-keep N]", file=sys.stderr)
+        return 2
+    ds = ds.removesuffix(".zpaq")
+    victims = zfs_purge(ds, keep=int(sw.get("keep", ["0"])[0]))
+    print(f"destroyed {len(victims)} snapshots")
+    return 0
+
+
+def cmd_zfsadd(archive, files, sw) -> int:
+    """zfsadd = zfsbackup alias (reference keeps both spellings)."""
+    return cmd_zfsbackup(archive, files, sw)
+
+
+def cmd_zfsreceive(archive, files, sw) -> int:
+    return cmd_zfsrestore(archive, files, sw)
+
+
+def _zfs_prox_stub(cmdname: str):
     def fn(archive, files, sw) -> int:
-        import shutil as _sh
-        if _sh.which("zfs") is None:
-            print(f"{cmdname}: requires the zfs utility, which is not "
-                  "available on this host (reference zfs family, "
-                  "man/zpaqfranz.pod:115-122)", file=sys.stderr)
-            return 2
-        print(f"{cmdname}: zfs orchestration not yet wired", file=sys.stderr)
+        print(f"{cmdname}: proxmox VM orchestration is out of scope "
+              "(reference zfsproxbackup/zfsproxrestore wrap the plain zfs "
+              "commands with Proxmox VM metadata; use zfsbackup/zfsrestore "
+              "on the VM datasets directly)", file=sys.stderr)
         return 2
     return fn
 
@@ -1034,12 +1092,12 @@ COMMANDS = {
     "fzf": cmd_find,
     "sfx": cmd_sfx,
     "n": cmd_versions, "last2": cmd_versions,
-    "zfsadd": _zfs_stub("zfsadd"), "zfsbackup": _zfs_stub("zfsbackup"),
-    "zfslist": _zfs_stub("zfslist"), "zfspurge": _zfs_stub("zfspurge"),
-    "zfsreceive": _zfs_stub("zfsreceive"),
-    "zfsrestore": _zfs_stub("zfsrestore"),
-    "zfsproxbackup": _zfs_stub("zfsproxbackup"),
-    "zfsproxrestore": _zfs_stub("zfsproxrestore"),
+    "zfsadd": cmd_zfsadd, "zfsbackup": cmd_zfsbackup,
+    "zfslist": cmd_zfslist, "zfspurge": cmd_zfspurge,
+    "zfsreceive": cmd_zfsreceive,
+    "zfsrestore": cmd_zfsrestore,
+    "zfsproxbackup": _zfs_prox_stub("zfsproxbackup"),
+    "zfsproxrestore": _zfs_prox_stub("zfsproxrestore"),
 }
 
 # commands whose first positional is a plain file/dir path, not an archive
