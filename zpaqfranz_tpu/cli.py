@@ -1043,12 +1043,18 @@ def _zfs_prox_stub(cmdname: str):
 
 
 def cmd_sfx(archive, files, sw) -> int:
-    """Not ported: SFX stubs are Windows PE executables (reference
-    ZSFX/zsfx.cpp); archives remain fully compatible without them."""
-    print("sfx: not supported in zpaqfranz_tpu (Windows PE stub mechanism; "
-          "see SURVEY.md 'What we explicitly do NOT port')",
-          file=sys.stderr)
-    return 2
+    """Build a self-extracting POSIX executable: native engine + mini-jidac
+    stub compiled on demand, archive appended with a magic trailer (the
+    ELF equivalent of the reference's PE stub mechanism,
+    ZSFX/zsfx.cpp:2494-2612). Encrypted archives are embedded decrypted
+    (the stub has no scrypt); pass -key to decrypt first."""
+    from .jidac.sfx import build_sfx
+    src, _jd = _load_index(archive, sw)
+    out = files[0] if files else archive.removesuffix(".zpaq") + ".sfx"
+    n = build_sfx(src.bytes(), out)
+    print(f"{out}: {_fmt_size(n)} bytes (self-extracting, run it to "
+          f"unpack into ./ or pass a target dir)")
+    return 0
 
 
 COMMANDS = {
