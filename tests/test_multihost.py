@@ -131,3 +131,15 @@ def test_tcp_comm_collectives(tmp_path):
     for t in ts:
         t.join(timeout=60)
     assert results == {0: True, 1: True, 2: True}
+
+
+def test_scaling_report(tmp_path):
+    """The scaling harness runs, archives byte-match across world sizes,
+    and reports MB/s + efficiency (the BASELINE.md scaling-report shape)."""
+    from zpaqfranz_tpu.parallel.multihost import scaling_report
+    _corpus(tmp_path / "corpus")
+    os.chdir(tmp_path)
+    rep = scaling_report(str(tmp_path / "corpus"), worlds=(1, 2))
+    assert set(rep) == {1, 2}
+    assert rep[1]["MBps"] > 0 and rep[2]["MBps"] > 0
+    assert "efficiency_vs_1" in rep[2]

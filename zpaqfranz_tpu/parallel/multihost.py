@@ -376,6 +376,74 @@ def dist_add(comm, archive: str, files: Sequence[str], method: str = "1",
 
 
 # ---------------------------------------------------------------------------
+# Scaling harness (BASELINE.md north star: GB/s at 1 host vs N hosts)
+# ---------------------------------------------------------------------------
+
+def scaling_report(corpus: str, worlds: Sequence[int] = (1, 2),
+                   method: str = "1", port: int = 0) -> dict:
+    """Time dist_add over the corpus at each world size; returns
+    {world: {'seconds': s, 'MBps': r, 'efficiency_vs_1': e}}.
+
+    Spawns one process per host rank (all local here — the harness shape;
+    real multi-host runs point --coordinator at host 0). Archive bytes are
+    asserted identical across world sizes."""
+    import pathlib
+    import socket
+    import subprocess
+    import sys
+    import tempfile
+    import time as _t
+
+    corpus_path = pathlib.Path(corpus).resolve()
+    nbytes = sum(p.stat().st_size
+                 for p in corpus_path.rglob("*") if p.is_file())
+    out: dict = {}
+    ref_bytes = None
+    date = 20260102030405
+    for world in worlds:
+        with tempfile.TemporaryDirectory() as td:
+            arc = str(pathlib.Path(td) / "s.zpaq")
+            if port == 0:
+                s = socket.socket()
+                s.bind(("127.0.0.1", 0))
+                p = s.getsockname()[1]
+                s.close()
+            else:
+                p = port
+            env = dict(os.environ)
+            pkg_root = str(pathlib.Path(__file__).resolve().parents[2])
+            env["PYTHONPATH"] = (pkg_root + os.pathsep
+                                 + env.get("PYTHONPATH", ""))
+            t0 = _t.time()
+            procs = [subprocess.Popen(
+                [sys.executable, "-m", "zpaqfranz_tpu.parallel.multihost",
+                 "--rank", str(r), "--world", str(world),
+                 "--coordinator", f"127.0.0.1:{p}",
+                 "--method", method, "--date", str(date), arc,
+                 corpus_path.name],
+                cwd=corpus_path.parent, env=env,
+                stdout=subprocess.DEVNULL, stderr=subprocess.PIPE)
+                for r in range(world)]
+            for pr in procs:
+                _o, err = pr.communicate(timeout=3600)
+                if pr.returncode != 0:
+                    raise RuntimeError(err.decode()[-2000:])
+            dt = _t.time() - t0
+            blob = pathlib.Path(arc).read_bytes()
+            if ref_bytes is None:
+                ref_bytes = blob
+            elif blob != ref_bytes:
+                raise RuntimeError(f"world={world}: archive bytes diverged")
+            out[world] = {"seconds": round(dt, 2),
+                          "MBps": round(nbytes / dt / 1e6, 2)}
+    base = out[worlds[0]]["MBps"]
+    for world in worlds:
+        out[world]["efficiency_vs_1"] = round(
+            out[world]["MBps"] / (base * world / worlds[0]), 3)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Worker entry point (one process per host)
 # ---------------------------------------------------------------------------
 
