@@ -138,10 +138,10 @@ def _bench_device(detail: dict) -> None:
                     for i in range(L)]
         coder = device_coder()
         t0 = time.time()
-        coder.encode_streams(model, payloads)      # compile + run
+        coded = coder.encode_streams(model, payloads)   # compile + run
         compile_s = time.time() - t0
         t0 = time.time()
-        coder.encode_streams(model, payloads)
+        coded = coder.encode_streams(model, payloads)
         warm_s = time.time() - t0
         tot = sum(len(p) for p in payloads)
         detail["device"]["cm_m4_lanes"] = {
@@ -151,6 +151,13 @@ def _bench_device(detail: dict) -> None:
             "us_per_byte_step": round(warm_s / BS * 1e6, 1),
             "us_per_byte_per_lane": round(warm_s / tot * 1e6, 2),
         }
+        coder.decode_streams(model, coded, BS)          # compile
+        t0 = time.time()
+        back = coder.decode_streams(model, coded, BS)
+        dec_s = time.time() - t0
+        assert back == payloads, "device decode round-trip failed"
+        detail["device"]["cm_m4_lanes"]["decode_MBps"] = round(
+            tot / dec_s / 1e6, 4)
         # --- Pallas SHA-1 hash lanes (verify hot path) -------------------
         # on-chip rate with resident data: host<->device transfer on a
         # tunneled chip (~100 ms latency, ~10 MB/s readback) is deployment

@@ -96,3 +96,25 @@ def _compute_expected():
 
 
 _D_PREFIX_SHA256 = _compute_expected()
+
+
+def test_reference_zsfx_archives_decode():
+    """The reference repo's own zsfx stub archives (made by zpaq/zpaqfranz,
+    -m2-class methods with E8E9 on PE executables) must decode, and their
+    stored segment SHA-1s must verify."""
+    import hashlib
+    import pathlib
+    from zpaqfranz_tpu import native
+    for name, want in (("zsfx.zpaq", 321024), ("zsfx32.zpaq", 223744)):
+        p = pathlib.Path("/root/reference/ZSFX") / name
+        if not p.exists():
+            import pytest
+            pytest.skip("reference snapshot not available")
+        blocks = native.decompress_stream(p.read_bytes())
+        total = 0
+        for b in blocks:
+            for s in b:
+                total += len(s.data)
+                if s.sha1:
+                    assert hashlib.sha1(s.data).digest() == s.sha1
+        assert total == want
