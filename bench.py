@@ -123,7 +123,9 @@ def _bench_device(detail: dict) -> None:
         return
     try:
         import jax
-        backend = jax.default_backend()
+        from zpaqfranz_tpu.ops.hash_pallas import _enable_compile_cache
+        _enable_compile_cache()     # repeat runs on one machine skip the
+        backend = jax.default_backend()   # multi-minute tunnel compile
         detail["device"] = {"backend": backend}
         if backend not in ("tpu",):
             detail["device"]["skipped"] = f"no TPU ({backend})"

@@ -645,7 +645,14 @@ def add(archive: str, files: Sequence[str], method: str = "1",
     hash_threads = threads or min(16, (os.cpu_count() or 4))
 
     def _digest_file(name: str):
-        data = pathlib.Path(name).read_bytes()
+        # mmap: the digest kernel reads pages straight from the page cache
+        # (no separate Python read pass over the file)
+        import mmap as _mmap
+        with open(name, "rb") as f:
+            try:
+                data = _mmap.mmap(f.fileno(), 0, access=_mmap.ACCESS_READ)
+            except ValueError:          # empty file
+                data = b""
         frags, crc, xxh = native.digest_file(data, fragment_bits)
         return data, (crc, xxh), frags
 

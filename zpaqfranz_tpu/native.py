@@ -29,6 +29,22 @@ class NativeError(RuntimeError):
     pass
 
 
+def _as_cptr(data):
+    """bytes/bytearray pass through; mmap/memoryview/ndarray become a
+    zero-copy c_char_p (the caller keeps the owner alive)."""
+    if isinstance(data, (bytes, bytearray)):
+        return data
+    arr = np.frombuffer(data, np.uint8)
+    return arr.ctypes.data_as(C.c_char_p)
+
+
+def _out_buf(cap: int):
+    """Uninitialized output buffer (create_string_buffer zero-fills, which
+    costs a full memset pass on multi-MB blocks)."""
+    arr = np.empty(cap, np.uint8)
+    return arr, arr.ctypes.data_as(C.c_char_p)
+
+
 def ensure_built() -> pathlib.Path:
     """Build libtzpaq.so if missing or stale; return its path."""
     src = _NATIVE_DIR / "src" / "tzpaq.cpp"
@@ -270,19 +286,19 @@ def compress_block(model, data: bytes, filename: bytes = b"",
     header = model.header_bytes()
     ppblob = model.pcomp_bytes() or b""
     cap = len(data) + len(data) // 2 + len(header) + 256
-    out = C.create_string_buffer(cap)
+    arr, out = _out_buf(cap)
     rc = lib.tzc_compress_block(
-        header, len(header), ppblob, len(ppblob), data, len(data),
+        header, len(header), ppblob, len(ppblob), _as_cptr(data), len(data),
         filename, comment, sha1, 1 if tag else 0, out, cap)
     if rc < -1:
         cap = -rc
-        out = C.create_string_buffer(cap)
+        arr, out = _out_buf(cap)
         rc = lib.tzc_compress_block(
-            header, len(header), ppblob, len(ppblob), data, len(data),
-            filename, comment, sha1, 1 if tag else 0, out, cap)
+            header, len(header), ppblob, len(ppblob), _as_cptr(data),
+            len(data), filename, comment, sha1, 1 if tag else 0, out, cap)
     if rc < 0:
         raise NativeError("native compress_block failed")
-    return out.raw[:rc]
+    return arr[:rc].tobytes()
 
 
 def sha1(data: bytes) -> bytes:
@@ -314,14 +330,14 @@ def lz77_encode(data: bytes, min_match: int = 6, depth_log: int = 4,
     # byte-aligned LZ77 (literal-run headers), and a retry re-encodes
     # the whole block — far costlier than the extra buffer
     cap = len(data) + len(data) // 8 + 1024
-    out = C.create_string_buffer(cap)
-    need = lib.tz_lz77_encode(data, len(data), min_match, depth_log,
-                              hash_bits, out, cap)
+    arr, out = _out_buf(cap)
+    need = lib.tz_lz77_encode(_as_cptr(data), len(data), min_match,
+                              depth_log, hash_bits, out, cap)
     if need > cap:
-        out = C.create_string_buffer(need)
-        need = lib.tz_lz77_encode(data, len(data), min_match, depth_log,
-                                  hash_bits, out, need)
-    return out.raw[:need]
+        arr, out = _out_buf(need)
+        need = lib.tz_lz77_encode(_as_cptr(data), len(data), min_match,
+                                  depth_log, hash_bits, out, need)
+    return arr[:need].tobytes()
 
 
 def lz77_parse(data: bytes, fmt: int, min_match: int, min_match2: int = 0,
@@ -332,16 +348,17 @@ def lz77_parse(data: bytes, fmt: int, min_match: int, min_match2: int = 0,
     (libzpaq.h:154-175 semantics). fmt 1 = packed, 2 = byte-aligned."""
     lib = _load()
     cap = len(data) + len(data) // 8 + 1024
-    out = C.create_string_buffer(cap)
-    need = lib.tz_lz77_parse(data, len(data), fmt, min_match, min_match2,
-                             lookahead, depth_log, hash_bits,
+    arr, out = _out_buf(cap)
+    need = lib.tz_lz77_parse(_as_cptr(data), len(data), fmt, min_match,
+                             min_match2, lookahead, depth_log, hash_bits,
                              1 if use_sa else 0, rb, out, cap)
     if need > cap:
-        out = C.create_string_buffer(need)
-        need = lib.tz_lz77_parse(data, len(data), fmt, min_match, min_match2,
-                                 lookahead, depth_log, hash_bits,
-                                 1 if use_sa else 0, rb, out, need)
-    return out.raw[:need]
+        arr, out = _out_buf(need)
+        need = lib.tz_lz77_parse(_as_cptr(data), len(data), fmt, min_match,
+                                 min_match2, lookahead, depth_log,
+                                 hash_bits, 1 if use_sa else 0, rb, out,
+                                 need)
+    return arr[:need].tobytes()
 
 
 def lz77p_encode(data: bytes, min_match: int = 5, depth_log: int = 3,
@@ -352,14 +369,14 @@ def lz77p_encode(data: bytes, min_match: int = 5, depth_log: int = 3,
     (libzpaq.cpp:6284 ``rb(args[0]>4 ? args[0]-4 : 0)``)."""
     lib = _load()
     cap = len(data) + len(data) // 16 + 1024
-    out = C.create_string_buffer(cap)
-    need = lib.tz_lz77p_encode(data, len(data), min_match, depth_log,
-                               hash_bits, rb, out, cap)
+    arr, out = _out_buf(cap)
+    need = lib.tz_lz77p_encode(_as_cptr(data), len(data), min_match,
+                               depth_log, hash_bits, rb, out, cap)
     if need > cap:
-        out = C.create_string_buffer(need)
-        need = lib.tz_lz77p_encode(data, len(data), min_match, depth_log,
-                                   hash_bits, rb, out, need)
-    return out.raw[:need]
+        arr, out = _out_buf(need)
+        need = lib.tz_lz77p_encode(_as_cptr(data), len(data), min_match,
+                                   depth_log, hash_bits, rb, out, need)
+    return arr[:need].tobytes()
 
 
 def lz77p_decode(data: bytes, rb: int, out_hint: int = 0) -> bytes:
@@ -427,20 +444,22 @@ def cdc_boundaries(data: bytes, mean_bits: int = 16) -> List[int]:
     return out
 
 
-def digest_file(data: bytes, mean_bits: int = 16
+def digest_file(data, mean_bits: int = 16
                 ) -> Tuple[List[Tuple[bytes, int, int]], int, int]:
     """One native pass over a file: CDC + per-fragment SHA-1 + CRC-32 +
-    XXH64. Returns ([(sha1, start, end) per fragment], crc32, xxh64)."""
+    XXH64. Returns ([(sha1, start, end) per fragment], crc32, xxh64).
+    ``data``: bytes or an mmap/buffer (zero-copy: the kernel reads pages
+    straight from the page cache; no Python-side read pass)."""
     lib = _load()
-    if not data:
+    if not len(data):
         return [], 0, lib.tz_xxh64(b"", 0, 0)
     cap = max(16, len(data) // (1 << max(mean_bits - 5, 0)) + 16)
     ends = (C.c_uint32 * cap)()
     shas = C.create_string_buffer(cap * 20)
     crc = C.c_uint32()
     xxh = C.c_uint64()
-    n = lib.tz_digest_file(data, len(data), mean_bits, ends, cap, shas,
-                           C.byref(crc), C.byref(xxh))
+    n = lib.tz_digest_file(_as_cptr(data), len(data), mean_bits, ends, cap,
+                           shas, C.byref(crc), C.byref(xxh))
     frags: List[Tuple[bytes, int, int]] = []
     start = 0
     raw = shas.raw
@@ -449,7 +468,7 @@ def digest_file(data: bytes, mean_bits: int = 16
         frags.append((raw[i * 20:(i + 1) * 20], start, end))
         start = end
     if start < len(data):
-        frags.append((sha1(data[start:]), start, len(data)))
+        frags.append((sha1(bytes(data[start:])), start, len(data)))
     return frags, crc.value, xxh.value
 
 
