@@ -674,10 +674,28 @@ def cmd_dump(archive, files, sw) -> int:
         print(f"version {vi}: date {v.date} offset {v.offset:,} "
               f"csize {v.csize:,} +{v.updates} -{v.deletes} "
               f"firstfrag {v.firstFragment}")
+    stat = "stat" in sw
+    comp_names = {1: "CONST", 2: "CM", 3: "ICM", 4: "MATCH", 5: "AVG",
+                  6: "MIX2", 7: "MIX", 8: "ISSE", 9: "SSE"}
     for b in jd.block:
         print(f"  d-block @{b.offset:<12,} bsize {b.bsize:<10,} "
               f"frags {b.start}..{b.start + b.frags - 1} "
               f"usize {b.usize:,}")
+        if stat:
+            # model statistics: the Decompresser::stat analog
+            # (libzpaq.h:1256; memory model libzpaq.cpp:978-998)
+            from .parallel.engine import parse_block_payload
+            try:
+                raw = data.read_range(b.offset, min(b.bsize or 4096, 65536))
+                model, _start, _pl = parse_block_payload(raw, 0)
+                comps = " ".join(
+                    f"{comp_names.get(c[0], c[0])}({','.join(map(str, c[1:]))})"
+                    for c in model.comps) or "store"
+                print(f"    model: n={model.n} [{comps}] "
+                      f"decode-mem {model.memory():,} B "
+                      f"pcomp {'yes' if model.pcomp else 'no'}")
+            except Exception as e:
+                print(f"    model: unreadable ({e})")
     return 0
 
 

@@ -60,6 +60,31 @@ class Model:
         blob = self.pcomp + b"\x00"
         return bytes([len(blob) & 255, len(blob) >> 8]) + blob
 
+    def memory(self) -> int:
+        """Decode memory in bytes — the reference ZPAQL::memory() model
+        (libzpaq.cpp:978-998): per component CM 4*2^s; ICM 64*2^(s+2)+1024;
+        MATCH 4*2^s+2^b; MIX 4*2^s*m; MIX2 2*2^s; ISSE 64*2^(s+2)+2048;
+        SSE 128*2^s; plus the H/M arrays of both programs."""
+        mem = (4 << self.hh) + (1 << self.hm) + (4 << self.ph) \
+            + (1 << self.pm)
+        for c in self.comps:
+            t = c[0]
+            if t == 2:                      # CM s limit
+                mem += 4 << c[1]
+            elif t == 3:                    # ICM s
+                mem += (64 << (c[1] + 2)) + 1024
+            elif t == 4:                    # MATCH s b
+                mem += (4 << c[1]) + (1 << c[2])
+            elif t == 6:                    # MIX2 s ...
+                mem += 2 << c[1]
+            elif t == 7:                    # MIX s j m ...
+                mem += (4 << c[1]) * c[3]
+            elif t == 8:                    # ISSE s j
+                mem += (64 << (c[1] + 2)) + 2048
+            elif t == 9:                    # SSE s ...
+                mem += 128 << c[1]
+        return mem
+
     @staticmethod
     def parse(data: bytes, offset: int = 0) -> Tuple["Model", int]:
         """Parse a serialized header, return (model, bytes consumed)."""
