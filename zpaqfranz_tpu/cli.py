@@ -1075,6 +1075,54 @@ def cmd_sfx(archive, files, sw) -> int:
     return 0
 
 
+def cmd_mysqldump(archive, files, sw) -> int:
+    """Dump a MySQL/MariaDB database (mysqldump subprocess) and append the
+    dump to the archive (reference mysqldump command; the dedup layer makes
+    daily dumps nearly free). ZPAQ_MYSQLDUMP_CMD overrides the binary."""
+    import os
+    import shutil as _sh
+    import subprocess
+    import tempfile
+    cmd = os.environ.get("ZPAQ_MYSQLDUMP_CMD") or _sh.which("mysqldump")
+    if not cmd:
+        print("mysqldump: binary not found (set ZPAQ_MYSQLDUMP_CMD)",
+              file=sys.stderr)
+        return 2
+    db = files[0] if files else "--all-databases"
+    from .jidac.add import add
+    with tempfile.TemporaryDirectory() as td:
+        name = f"mysqldump/{db.strip('-')}.sql"
+        out = pathlib.Path(td) / name
+        out.parent.mkdir(parents=True)
+        with open(out, "wb") as f:
+            r = subprocess.run([cmd, db] + files[1:], stdout=f,
+                               stderr=subprocess.PIPE)
+        if r.returncode != 0:
+            print(f"mysqldump failed: {r.stderr.decode()[-500:]}",
+                  file=sys.stderr)
+            return 2
+        cwd = os.getcwd()
+        os.chdir(td)
+        try:
+            arc = archive if os.path.isabs(archive) else str(
+                pathlib.Path(cwd) / archive)
+            nfiles, _nfrags, nbytes = add(arc, [name], method=_method(sw),
+                                          key=_key(sw))
+        finally:
+            os.chdir(cwd)
+        dumped = out.stat().st_size
+    print(f"{name}: {_fmt_size(dumped)} dumped, "
+          f"{_fmt_size(nbytes)} archived")
+    return 0
+
+
+def _platform_stub(cmdname: str, why: str):
+    def fn(archive, files, sw) -> int:
+        print(f"{cmdname}: {why}", file=sys.stderr)
+        return 2
+    return fn
+
+
 COMMANDS = {
     "a": cmd_add, "add": cmd_add,
     "x": cmd_extract, "e": cmd_extract, "extract": cmd_extract,
@@ -1115,6 +1163,36 @@ COMMANDS = {
     "sync": cmd_sync,
     "fzf": cmd_find,
     "sfx": cmd_sfx,
+    "mysqldump": cmd_mysqldump,
+    # platform/network services intentionally not ported (SURVEY.md §2.7
+    # #44/#46: Windows disk machinery and self-update networking are
+    # orthogonal to the codec/archiver capability set)
+    "update": _platform_stub(
+        "update", "network self-update is out of scope (SURVEY.md #46); "
+        "update the package with git/pip instead"),
+    "upgrade": _platform_stub(
+        "upgrade", "network self-update is out of scope (SURVEY.md #46)"),
+    "download": _platform_stub(
+        "download", "network fetch is out of scope (SURVEY.md #46)"),
+    "ads": _platform_stub(
+        "ads", "NTFS alternate data streams are Windows-only "
+        "(SURVEY.md #44)"),
+    "ntfs": _platform_stub(
+        "ntfs", "NTFS/MFT disk imaging is Windows-only (SURVEY.md #44); "
+        "image files archive as ordinary files"),
+    "drive": _platform_stub(
+        "drive", "Windows drive enumeration is out of scope (SURVEY.md "
+        "#44)"),
+    "work": _platform_stub(
+        "work", "power/turbo management is host-platform tooling; use the "
+        "OS governor directly"),
+    "pakka": _platform_stub(
+        "pakka", "the PAKKA GUI companion is Windows-only"),
+    "kickstart": _platform_stub(
+        "kickstart", "kickstart bootstraps a Windows install; out of "
+        "scope"),
+    "tui": _platform_stub(
+        "tui", "interactive browser not implemented; use l/find/dir"),
     "n": cmd_versions, "last2": cmd_versions,
     "zfsadd": cmd_zfsadd, "zfsbackup": cmd_zfsbackup,
     "zfslist": cmd_zfslist, "zfspurge": cmd_zfspurge,
