@@ -573,6 +573,22 @@ int Decoder::decompress() {
   return get();
 }
 
+size_t Decoder::read_unmodeled(u8* dst, size_t maxn) {
+  size_t got = 0;
+  while (got < maxn) {
+    if (curr == 0) {
+      for (int i = 0; i < 4; ++i) curr = (curr << 8) | u32(get() & 255);
+      if (curr == 0) break;             // EOS (decompress() returns -1 here)
+    }
+    size_t take = maxn - got < curr ? maxn - got : curr;
+    size_t r = bin->read(dst + got, take);
+    got += r;
+    curr -= u32(r);
+    if (r < take) throw format_error("unexpected end of file");
+  }
+  return got;
+}
+
 // ---- postprocessor (libzpaq.cpp:2175-2233) --------------------------------
 
 namespace {
@@ -1112,10 +1128,34 @@ long tzs_read_block(void* hv) {
       seg.comment = comment;
       seg.offset = s.in.tell();
       size_t start = sink.size();
-      for (;;) {
-        int c = dec.decompress();
-        pp.write(c);
-        if (c == -1) break;
+      if (!dec.pr.is_modeled()) {
+        // unmodeled stream: per-byte calls only until the postprocessor
+        // reaches steady state (selector + optional pcomp load), then the
+        // 4-byte-length-prefixed chunks copy in bulk — store blocks and
+        // the LZ77 stream feed run at memcpy speed instead of two virtual
+        // calls per byte
+        int c;
+        while (pp.state != 1 && !(pp.state == 5 && pp.fast_kind != 0)
+               && (c = dec.decompress()) != -1)
+          pp.write(c);
+        if (pp.state == 1 || (pp.state == 5 && pp.fast_kind != 0)) {
+          std::vector<u8>& dst = pp.state == 1 ? sink.v : pp.fbuf;
+          u8 tmp[1 << 16];
+          for (;;) {
+            size_t got = dec.read_unmodeled(tmp, sizeof tmp);
+            if (got) dst.insert(dst.end(), tmp, tmp + got);
+            if (got < sizeof tmp) break;
+          }
+          pp.write(-1);
+        } else {
+          pp.write(-1);
+        }
+      } else {
+        for (;;) {
+          int c = dec.decompress();
+          pp.write(c);
+          if (c == -1) break;
+        }
       }
       int c = s.get();
       if (c == 253) {
@@ -2066,10 +2106,21 @@ size_t tz_lz77p_encode(const u8* in, size_t n, int min_match, int depth_log,
 size_t tz_lz77p_decode(const u8* in, size_t n, int rb, u8* out, size_t cap) {
   const size_t total = n * 8;
   size_t bitpos = 0, w = 0;
+  // 64-bit accumulator bit reader (the callers bound every read with
+  // bitpos checks against total, so past-the-end refills feed zeros that
+  // are never interpreted)
+  size_t pos = 0;
+  u64 acc = 0;
+  int nbits = 0;
   auto getb = [&](int k) -> u32 {
-    u32 x = 0;
-    for (int j = 0; j < k; ++j, ++bitpos)
-      x |= u32((in[bitpos >> 3] >> (bitpos & 7)) & 1) << j;
+    while (nbits < k) {
+      acc |= u64(pos < n ? in[pos++] : 0) << nbits;
+      nbits += 8;
+    }
+    u32 x = u32(acc & ((u64(1) << k) - 1));
+    acc >>= k;
+    nbits -= k;
+    bitpos += k;
     return x;
   };
   for (;;) {

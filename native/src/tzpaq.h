@@ -200,6 +200,9 @@ struct Decoder {
   void init_block(const Header& hd);  // predictor init, once per block
   void init_segment();                // coder state reset, per segment
   int decompress();                   // one byte or -1 at EOS
+  // bulk copy of the unmodeled (4-byte-length-prefixed) stream; returns
+  // bytes written, < maxn only at EOS
+  size_t read_unmodeled(u8* dst, size_t maxn);
   int get() { return bin->get(); }
 
  private:
