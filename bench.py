@@ -197,6 +197,19 @@ def main() -> None:
             t0 = time.time()
             add(str(arc), ["corpus"], method="1")
             inc_s = time.time() - t0
+
+            # verify pass (the reference's `t`, claimed >1 GB/s on NVMe
+            # consumer HW, README.md:169-171): decode every block +
+            # SHA-1 every fragment, thread pool over blocks
+            from zpaqfranz_tpu.jidac.archive_io import ArchiveSource
+            from zpaqfranz_tpu.jidac.extract import verify_archive
+            from zpaqfranz_tpu.jidac.index import read_archive_src
+            vsrc = ArchiveSource.from_spec(str(arc))
+            vjd = read_archive_src(vsrc)
+            t0 = time.time()
+            _nb, _nf = verify_archive(vsrc, vjd)
+            ver_s = time.time() - t0
+            verified = sum(b.usize for b in vjd.block)
         finally:
             os.chdir(cwd)
 
@@ -209,6 +222,7 @@ def main() -> None:
             "stored_ratio": round(ratio, 4),
             "full_pass_s": round(full_s, 2),
             "incremental_pass_s": round(inc_s, 3),
+            "verify_MBps": round(verified / ver_s / 1e6, 1),
             "baseline_anchor_MBps": _BASELINE_MBPS,
             "baseline_source": "reference README.md:328 (80-200 MB/s)",
         }
