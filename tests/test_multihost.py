@@ -143,3 +143,20 @@ def test_scaling_report(tmp_path):
     assert set(rep) == {1, 2}
     assert rep[1]["MBps"] > 0 and rep[2]["MBps"] > 0
     assert "efficiency_vs_1" in rep[2]
+
+
+def test_dist_add_encrypted_matches_serial(tmp_path):
+    """Encrypted archives must also be host-count invariant (rank 0 owns
+    the salt; plaintext transaction bytes are deterministic)."""
+    _corpus(tmp_path / "corpus")
+    os.chdir(tmp_path)
+    add("serial.zpaq", ["corpus"], method="1", date=_DATE, key="pw")
+    comm = TcpComm(0, 1, "127.0.0.1:0")
+    dist_add(comm, "dist.zpaq", ["corpus"], method="1", date=_DATE,
+             key="pw")
+    # salts are random, so ciphertexts differ; the decrypted transactions
+    # must match
+    from zpaqfranz_tpu.codec import crypto
+    ps = crypto.decrypt_archive((tmp_path / "serial.zpaq").read_bytes(), "pw")
+    pd = crypto.decrypt_archive((tmp_path / "dist.zpaq").read_bytes(), "pw")
+    assert ps == pd
