@@ -168,11 +168,17 @@ def cmd_extract(archive, files, sw) -> int:
             print("no files selected")
             return 0
     to = sw.get("to", ["."])[0]
+    rename = None
+    if "find" in sw and sw["find"]:
+        find = sw["find"][0]
+        repl = sw.get("replace", [""])[0]
+        rename = lambda n: n.replace(find, repl)   # noqa: E731
     t0 = time.time()
     nfiles, nbytes = extract(data, jd, to, patterns=files,
                              threads=int(sw.get("threads", ["0"])[0]),
                              use_device=_use_device(sw),
-                             progress=(prog := _Progress(sw)))
+                             progress=(prog := _Progress(sw)),
+                             rename=rename)
     prog.finish()
     dt = time.time() - t0
     print(f"{nfiles} files, {_fmt_size(nbytes)} bytes extracted "
@@ -200,15 +206,18 @@ def cmd_list(archive, files, sw) -> int:
     names = _apply_filters(select_files(jd, files), sw)
     total = 0
     csv = "csv" in sw
+    find = sw["find"][0] if ("find" in sw and sw["find"]) else None
+    repl = sw.get("replace", [""])[0]
     for n in names:
         d = jd.dt[n]
+        shown = n.replace(find, repl) if find else n
         date = f"{d.date:014d}"
         pretty = (f"{date[0:4]}-{date[4:6]}-{date[6:8]} "
                   f"{date[8:10]}:{date[10:12]}:{date[12:14]}")
         if csv:
-            print(f'"{pretty}",{d.size},"{n}"')
+            print(f'"{pretty}",{d.size},"{shown}"')
         else:
-            print(f"- {pretty} {_fmt_size(d.size):>15}  {n}")
+            print(f"- {pretty} {_fmt_size(d.size):>15}  {shown}")
         total += max(d.size, 0)
     stored = data.size()
     if csv:
@@ -1291,6 +1300,15 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             # greppable stats lines (reference |STAT|, CHANGELOG.md:83-84)
             print(f"|STAT| cmd={cmd} rc={rc} seconds={time.time() - t0:.3f}")
         return rc
+    except BrokenPipeError:
+        # output piped into head/less that closed early: not an error
+        import os
+        try:
+            sys.stdout.close()
+        except Exception:
+            pass
+        sys.stdout = open(os.devnull, "w")
+        return 0
     except FileNotFoundError as e:
         _log_error(sw, f"error: {e}")
         return 2

@@ -92,12 +92,14 @@ def select_files(jd: Jidac, patterns: Sequence[str]) -> List[str]:
 def extract(data, jd: Jidac, to_dir: str,
             patterns: Sequence[str] = (), threads: int = 0,
             dry_run: bool = False, use_device: bool = False,
-            progress=None) -> Tuple[int, int]:
+            progress=None, rename=None) -> Tuple[int, int]:
     """Extract selected files under ``to_dir``. Returns (files, bytes).
 
     ``data``: archive bytes or a streaming ArchiveSource.
     ``use_device``: decode modeled blocks as batched lanes on the JAX
-    device (TPU) instead of host threads (parallel/engine.py)."""
+    device (TPU) instead of host threads (parallel/engine.py).
+    ``rename``: optional name->name mapping applied to output paths (the
+    reference's -find/-replace substitution, CHANGELOG.md v60 t/x)."""
     data = as_source(data)
     names = select_files(jd, patterns)
     needed_blocks: Dict[int, Block] = {}
@@ -136,7 +138,8 @@ def extract(data, jd: Jidac, to_dir: str,
     total = 0
     for n in names:
         d = jd.dt[n]
-        path = root / n.lstrip("/")
+        out_name = rename(n) if rename else n
+        path = root / out_name.lstrip("/")
         path.parent.mkdir(parents=True, exist_ok=True)
         with open(path, "wb") as f:
             for frag in d.ptr:
