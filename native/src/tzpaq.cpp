@@ -856,6 +856,33 @@ void Encoder::compress(int c) {
   }
 }
 
+// Bulk input: byte-identical to feeding compress() in a loop, but store
+// (unmodeled) blocks move via memcpy-sized inserts instead of a per-byte
+// call chain (~10x on the add pipeline's store/LZ77-coded blocks).
+void Encoder::compress_bulk(const u8* p, size_t n) {
+  if (pr.is_modeled()) {
+    for (size_t i = 0; i < n; ++i) compress(int(p[i]));
+    return;
+  }
+  while (n) {
+    if (ubuf.empty() && n >= (size_t(1) << 16)) {
+      // full 64 KiB chunk: emit straight from the caller's buffer (same
+      // bytes flush_unmodeled() would produce, one copy fewer)
+      out->put(0); out->put(1); out->put(0); out->put(0);
+      out->write(p, size_t(1) << 16);
+      p += size_t(1) << 16;
+      n -= size_t(1) << 16;
+      continue;
+    }
+    size_t room = (size_t(1) << 16) - ubuf.size();
+    size_t take = n < room ? n : room;
+    ubuf.insert(ubuf.end(), p, p + take);
+    p += take;
+    n -= take;
+    if (ubuf.size() >= (1u << 16)) flush_unmodeled();
+  }
+}
+
 // ---- archive sources and the buffered reader ------------------------------
 // (AES core lives in the C-ABI section below; forward-declare the entry.)
 extern "C" void tz_aes_ctr(const u8* key, int keylen, const u8* salt8,
@@ -1211,6 +1238,7 @@ long tzc_compress_block(const u8* header, size_t header_len,
     Header hd;
     hd.parse(header, header_len);
     Sink sink;
+    sink.v.reserve(n + n / 256 + header_len + ppblob_len + 128);
     if (write_tag) sink.write(TAG, 13);
     sink.put('z'); sink.put('P'); sink.put('Q');
     sink.put(hd.n() > 0 ? 1 : 2); sink.put(1);
@@ -1229,7 +1257,7 @@ long tzc_compress_block(const u8* header, size_t header_len,
     } else {
       enc.compress(0);
     }
-    for (size_t i = 0; i < n; ++i) enc.compress(data[i]);
+    enc.compress_bulk(data, n);
     enc.compress(-1);
     sink.put(0); sink.put(0); sink.put(0); sink.put(0);
     if (sha1) {
@@ -2159,38 +2187,79 @@ size_t tz_lz77p_decode(const u8* in, size_t n, int rb, u8* out, size_t cap) {
   return w;
 }
 
-// Content-defined chunking: order-1-predictive rolling hash, boundary when
-// the hash drops below a threshold (reference behavior described in
-// SURVEY.md section 2.6 component 35; exact boundaries are an
-// implementation choice — only round-trip matters, not boundary parity).
+// Content-defined chunking: gear rolling hash with FastCDC-style
+// normalized masks (reference behavior described in SURVEY.md section 2.6
+// component 35; exact boundaries are an implementation choice — only
+// round-trip matters, not boundary parity). The gear recurrence
+// h = (h<<1) + G[c] is branch-free (~5x the order-1-predictive scan this
+// replaced) and its 64-byte effective window gives the same shift-resistant
+// boundaries. Normalization: a stricter mask before the mean size and a
+// looser one after pulls fragment sizes toward the mean (FastCDC NC=2).
 // mean_bits: mean fragment = 2^mean_bits bytes; min = mean/16, max = mean*8.
 // Writes fragment END offsets (exclusive); returns count (<= cap).
+static u64 gear_tab[256];
+static bool gear_ready = false;
+static void gear_init() {
+  u64 x = 0x2545F4914F6CDD1DULL;       // fixed seed: boundaries are format-
+  for (int i = 0; i < 256; ++i) {      // stable across builds and hosts
+    x += 0x9E3779B97F4A7C15ULL;        // splitmix64
+    u64 z = x;
+    z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
+    z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
+    gear_tab[i] = z ^ (z >> 31);
+  }
+  gear_ready = true;
+}
+
+// k set bits spread over the gear hash's upper half (newest bytes live in
+// the low bits; the upper bits mix the whole 64-byte window)
+static inline u64 gear_mask(int k) {
+  u64 m = 0;
+  for (int i = 0; i < k; ++i) m |= 1ULL << (63 - (i * 53) % 48);
+  return m;
+}
+
 size_t tz_cdc(const u8* data, size_t n, int mean_bits,
               u32* ends, size_t cap) {
-  const u32 threshold = mean_bits >= 32 ? 0 : (0xFFFFFFFFu >> mean_bits);
-  const size_t minfrag = (size_t(1) << mean_bits) / 16;
-  const size_t maxfrag = (size_t(1) << mean_bits) * 8 + 4096;
-  u8 o1[256];
-  memset(o1, 0, sizeof o1);
-  u32 h = 0;
-  u8 c1 = 0;
+  if (!gear_ready) gear_init();
+  if (mean_bits < 6) mean_bits = 6;
+  const size_t mean = size_t(1) << mean_bits;
+  const size_t minfrag = mean / 16;
+  const size_t maxfrag = mean * 8 + 4096;
+  // hit probability 2^-k per tested byte; with ~mean bytes tested per
+  // fragment the strict/loose pair brackets the target mean
+  const u64 mask_s = gear_mask(mean_bits + 2);
+  const u64 mask_l = gear_mask(mean_bits - 2);
   size_t start = 0, count = 0;
-  for (size_t i = 0; i < n; ++i) {
-    u8 c = data[i];
-    if (c == o1[c1]) h = (h + c + 1) * 314159265u;
-    else h = (h + c + 1) * 271828182u;
-    o1[c1] = c;
-    c1 = c;
-    size_t fraglen = i + 1 - start;
-    if ((h < threshold && fraglen >= minfrag) || fraglen >= maxfrag) {
-      if (count < cap) ends[count++] = u32(i + 1);
-      start = i + 1;
-      h = 0;
-      c1 = 0;
-      memset(o1, 0, sizeof o1);
+  while (start < n) {
+    size_t rem = n - start;
+    if (rem <= minfrag) {
+      if (count < cap) ends[count++] = u32(n);
+      break;
     }
+    size_t lim = rem < maxfrag ? rem : maxfrag;
+    // warm the 64-byte window just before the first testable position so
+    // boundaries depend only on local content (shift-resistant dedup)
+    size_t i = minfrag > 64 ? minfrag - 64 : 0;
+    u64 h = 0;
+    const u8* p = data + start;
+    for (; i < minfrag; ++i) h = (h << 1) + gear_tab[p[i]];
+    size_t mid = mean < lim ? mean : lim;
+    size_t cut = 0;
+    for (; i < mid; ++i) {
+      h = (h << 1) + gear_tab[p[i]];
+      if (!(h & mask_s)) { cut = i + 1; break; }
+    }
+    if (!cut)
+      for (; i < lim; ++i) {
+        h = (h << 1) + gear_tab[p[i]];
+        if (!(h & mask_l)) { cut = i + 1; break; }
+      }
+    if (!cut) cut = lim;
+    start += cut;
+    if (count < cap) ends[count++] = u32(start);
+    else break;
   }
-  if (start < n && count < cap) ends[count++] = u32(n);
   return count;
 }
 
@@ -2259,11 +2328,84 @@ static void crc_init() {
   crc_ready = true;
 }
 
+// PCLMUL carry-less folding for the same reflected CRC-32 (Intel folding
+// constants x^(4*128+32)/x^(4*128-32)/x^(128+32)/x^(128-32) mod P; the
+// scheme folds 64 input bytes per iteration into 4 xmm accumulators).
+// The folded 16-byte state is congruent to the consumed prefix mod P, so
+// the finish is just the table CRC over those 16 state bytes — no Barrett
+// constants needed. Correctness is pinned by an init self-test against the
+// slice-16 path; on mismatch (or no PCLMUL) the table path runs alone.
+static u32 crc32_slice16(u32 crc, const u8* data, size_t n);
+
+__attribute__((target("pclmul,sse4.1")))
+static u32 crc32_clmul(u32 crc, const u8* data, size_t n) {
+  // caller guarantees n >= 64 and crc already in core (inverted) form
+  const __m128i K64 = _mm_set_epi64x(0x00000001c6e41596LL,
+                                     0x0000000154442bd4LL);
+  const __m128i K16 = _mm_set_epi64x(0x00000000ccaa009eLL,
+                                     0x00000001751997d0LL);
+  __m128i x0 = _mm_loadu_si128((const __m128i*)data);
+  __m128i x1 = _mm_loadu_si128((const __m128i*)(data + 16));
+  __m128i x2 = _mm_loadu_si128((const __m128i*)(data + 32));
+  __m128i x3 = _mm_loadu_si128((const __m128i*)(data + 48));
+  x0 = _mm_xor_si128(x0, _mm_cvtsi32_si128((int)crc));  // reflected: low end
+  data += 64; n -= 64;
+  while (n >= 64) {
+#define TZ_FOLD(x, q)                                                     \
+    x = _mm_xor_si128(_mm_xor_si128(_mm_clmulepi64_si128(x, K64, 0x00),   \
+                                    _mm_clmulepi64_si128(x, K64, 0x11)),  \
+                      _mm_loadu_si128((const __m128i*)(q)))
+    TZ_FOLD(x0, data); TZ_FOLD(x1, data + 16);
+    TZ_FOLD(x2, data + 32); TZ_FOLD(x3, data + 48);
+#undef TZ_FOLD
+    data += 64; n -= 64;
+  }
+  __m128i acc = _mm_xor_si128(
+      _mm_xor_si128(_mm_clmulepi64_si128(x0, K16, 0x00),
+                    _mm_clmulepi64_si128(x0, K16, 0x11)), x1);
+  acc = _mm_xor_si128(_mm_xor_si128(_mm_clmulepi64_si128(acc, K16, 0x00),
+                                    _mm_clmulepi64_si128(acc, K16, 0x11)),
+                      x2);
+  acc = _mm_xor_si128(_mm_xor_si128(_mm_clmulepi64_si128(acc, K16, 0x00),
+                                    _mm_clmulepi64_si128(acc, K16, 0x11)),
+                      x3);
+  while (n >= 16) {
+    acc = _mm_xor_si128(_mm_xor_si128(_mm_clmulepi64_si128(acc, K16, 0x00),
+                                      _mm_clmulepi64_si128(acc, K16, 0x11)),
+                        _mm_loadu_si128((const __m128i*)data));
+    data += 16; n -= 16;
+  }
+  u8 state[16];
+  _mm_storeu_si128((__m128i*)state, acc);
+  // the incoming core was already folded into the stream front, so the
+  // finishing table walk starts from core 0
+  crc = crc32_slice16(0, state, 16);
+  return crc32_slice16(crc, data, n);
+}
+
+static int g_crc_clmul = -1;   // -1 unknown, 0 off, 1 on
+
 // IEEE 802.3 reflected CRC-32, slice-by-16 (byte-at-a-time is ~0.4 GB/s and
-// sits on the add/verify hot path; the 16-lane table walk reaches >2 GB/s)
+// sits on the add/verify hot path; the 16-lane table walk reaches >2 GB/s,
+// the PCLMUL fold >10 GB/s)
 u32 tz_crc32(u32 crc, const u8* data, size_t n) {
   if (!crc_ready) crc_init();
+  if (g_crc_clmul < 0) {
+    g_crc_clmul = 0;
+    if (__builtin_cpu_supports("pclmul") && __builtin_cpu_supports("sse4.1")) {
+      u8 probe[257];
+      for (int i = 0; i < 257; ++i) probe[i] = u8(i * 73 + 11);
+      g_crc_clmul = crc32_clmul(0xFFFFFFFFu, probe, 257)
+                    == crc32_slice16(0xFFFFFFFFu, probe, 257);
+    }
+  }
   crc = ~crc;
+  if (g_crc_clmul && n >= 64)
+    return ~crc32_clmul(crc, data, n);
+  return ~crc32_slice16(crc, data, n);
+}
+
+static u32 crc32_slice16(u32 crc, const u8* data, size_t n) {
   while (n >= 16) {
     u32 a, b, c, d;
     memcpy(&a, data, 4); memcpy(&b, data + 4, 4);
@@ -2282,7 +2424,7 @@ u32 tz_crc32(u32 crc, const u8* data, size_t n) {
   }
   for (size_t i = 0; i < n; ++i)
     crc = crc_table[0][(crc ^ data[i]) & 0xFF] ^ (crc >> 8);
-  return ~crc;
+  return crc;   // core (non-inverted) form; tz_crc32 applies the ~
 }
 
 // One-pass file digest for the add pipeline: CDC boundaries + SHA-1 per

@@ -242,6 +242,7 @@ struct Encoder {
   void init_block(const Header& hd);
   void init_segment();
   void compress(int c);   // c = 0..255 or -1 at end of segment
+  void compress_bulk(const u8* p, size_t n);  // byte-identical fast path
   void encode(int y, int p);
   void flush_unmodeled();
 };
