@@ -1451,18 +1451,21 @@ template <typename T>
 static void sais_core(const T* s, i32* sa, i32 n, i32 K, std::vector<i32>& bkt) {
   if (n == 0) return;
   if (n == 1) { sa[0] = 0; return; }
-  std::vector<bool> stype(n, false);           // true = S-type
-  stype[n - 1] = true;
-  for (i32 i = n - 2; i >= 0; --i)
+  std::vector<u8> stype(n, 0);                 // 1 = S-type (byte-wide:
+  stype[n - 1] = 1;                            // vector<bool> bit ops cost
+  for (i32 i = n - 2; i >= 0; --i)             // ~2x in the induce loops)
     stype[i] = s[i] < s[i + 1] || (s[i] == s[i + 1] && stype[i + 1]);
   auto is_lms = [&](i32 i) { return i > 0 && stype[i] && !stype[i - 1]; };
+  // histogram once per level; bucket_ends is then O(K) per call instead of
+  // re-scanning all n symbols (it is called 6x per level)
+  std::vector<i32> counts(size_t(K) + 1, 0);
+  for (i32 i = 0; i < n; ++i) ++counts[s[i]];
   auto bucket_ends = [&](bool tail) {
     bkt.assign(K + 1, 0);
-    for (i32 i = 0; i < n; ++i) ++bkt[s[i]];
     i32 sum = 0;
     for (i32 c = 0; c <= K; ++c) {
-      sum += bkt[c];
-      bkt[c] = tail ? sum : sum - bkt[c];
+      sum += counts[c];
+      bkt[c] = tail ? sum : sum - counts[c];
     }
   };
   auto induce = [&](const std::vector<i32>& lms) {
@@ -1533,8 +1536,10 @@ static void sais_core(const T* s, i32* sa, i32 n, i32 K, std::vector<i32>& bkt) 
 // SA-IS invariant, maintained recursively by LMS naming). The public entry
 // appends an explicit 0 sentinel with the alphabet shifted up by one.
 static void sais_u8(const u8* s, i32* sa, i32 n) {
-  std::vector<i32> t(size_t(n) + 1);
-  for (i32 i = 0; i < n; ++i) t[i] = i32(s[i]) + 1;
+  // u16 shifted copy (s[i]+1, sentinel 0): 255+1 does not fit u8, and the
+  // previous i32 copy cost 4x the memory traffic of the top-level pass
+  std::vector<u16> t(size_t(n) + 1);
+  for (i32 i = 0; i < n; ++i) t[i] = u16(s[i]) + 1;
   t[n] = 0;
   std::vector<i32> sa2(size_t(n) + 1);
   std::vector<i32> bkt;
@@ -1995,19 +2000,30 @@ static size_t lz77_scored_core(const u8* in, size_t n, int fmt,
     }
   } else {
     // ---- hash mode with secondary context + lookahead ----
-    // rolling order-N context hashes in the reference's recurrence shape
-    // (libzpaq.cpp:6436-6443): which positions collide is a quality knob,
-    // not a format property
+    // Contiguous tagged buckets: each hash row is `bucket` consecutive u32
+    // slots (entry = pos<<8 | content tag byte), so a whole bucket probe
+    // touches 1-4 cache lines instead of `bucket` scattered lines, and the
+    // tag rejects non-matches without touching the window. The rolling
+    // order-N context hashes keep the reference's recurrence shape
+    // (libzpaq.cpp:6436-6443) — which positions collide is a quality knob,
+    // not a format property.
     int hb = hash_bits;
     if (hb < 12) hb = 12;
     if (hb > 27) hb = 27;
-    const u32 hmask = (u32(1) << hb) - 1;
-    const int shift1 = min_match > 0 ? (hb - 1) / min_match + 1 : 1;
-    const int shift2 = min_match2 > 0 ? (hb - 1) / min_match2 + 1 : 0;
-    static thread_local u32* ht1 = nullptr;  // pos+1 (0 = empty)
+    int dl = 0;
+    while ((1 << dl) < bucket && dl < 6) ++dl;   // slots/row, max 64
+    const u32 B = u32(1) << dl;
+    const u32 rows_mask = (u32(1) << (hb - dl)) - 1;
+    const int tagoff = min_match >= 4 ? 3 : min_match - 1;
+    // entry = pos << ts | tag: shrink the tag for big blocks so the
+    // position always fits (ts=0 disables tagging past 256 MiB)
+    const int ts = n <= (size_t(1) << 24) ? 8
+                 : n <= (size_t(1) << 28) ? 4 : 0;
+    const u32 tmask = (u32(1) << ts) - 1;
+    static thread_local u32* ht1 = nullptr;
     static thread_local u32* ht2 = nullptr;
     static thread_local size_t ht_cap = 0;
-    size_t want = size_t(hmask) + 1;
+    size_t want = size_t(1) << hb;
     if (ht_cap < want) {
       free(ht1); free(ht2);
       ht1 = (u32*)malloc(want * 4);
@@ -2019,8 +2035,11 @@ static size_t lz77_scored_core(const u8* in, size_t n, int fmt,
         return w;
       }
     }
-    memset(ht1, 0, want * 4);
-    if (min_match2) memset(ht2, 0, want * 4);
+    // 0xFFFFFFFF = empty: decodes to p=0xFFFFFF which can never pass p<i
+    memset(ht1, 0xFF, want * 4);
+    if (min_match2) memset(ht2, 0xFF, want * 4);
+    const int shift1 = min_match > 0 ? (hb - 1) / min_match + 1 : 1;
+    const int shift2 = min_match2 > 0 ? (hb - 1) / min_match2 + 1 : 0;
     u32 h1 = 0, h2 = 0;
     const int mmboth = (min_match > min_match2 + lookahead
                         ? min_match : min_match2 + lookahead) + 4;
@@ -2028,11 +2047,13 @@ static size_t lz77_scored_core(const u8* in, size_t n, int fmt,
       size_t blen = size_t(min_match) - 1, bp = 0, blit = 0;
       int bscore = 0;
       bool found = false;
+      const u32 want_tag = (i + tagoff < n ? in[i + tagoff] : 0) & tmask;
       if (min_match2 > 0) {
-        for (int k = 0; k < bucket; ++k) {
-          u32 e = ht2[(h2 ^ u32(k)) & hmask];
-          if (!e) continue;
-          size_t p = e - 1;
+        const u32* row = ht2 + (size_t(h2 & rows_mask) << dl);
+        for (u32 k = 0; k < B; ++k) {
+          u32 e = row[k];
+          if ((e & tmask) != want_tag) continue;
+          size_t p = e >> ts;
           if (p >= i) continue;
           // cheap reject: the byte that would extend the current best
           if (i + blen >= n || in[p + blen - 1] != in[i + blen - 1])
@@ -2050,10 +2071,11 @@ static size_t lz77_scored_core(const u8* in, size_t n, int fmt,
         }
       }
       if (!min_match2 || blen < size_t(min_match2)) {
-        for (int k = 0; k < bucket; ++k) {
-          u32 e = ht1[(h1 ^ u32(k)) & hmask];
-          if (!e) continue;
-          size_t p = e - 1;
+        const u32* row = ht1 + (size_t(h1 & rows_mask) << dl);
+        for (u32 k = 0; k < B; ++k) {
+          u32 e = row[k];
+          if ((e & tmask) != want_tag) continue;
+          size_t p = e >> ts;
           if (p >= i) continue;
           if (i + blen >= n || in[p + blen - 1] != in[i + blen - 1])
             continue;
@@ -2085,17 +2107,16 @@ static size_t lz77_scored_core(const u8* in, size_t n, int fmt,
       // (the reference's while(blen--) maintenance loop)
       for (size_t j = 0; j < adv; ++j, ++i) {
         if (i + mmboth < n) {
-          u32 ih = u32((i * 1234547u) >> 19) & u32(bucket - 1);
+          u32 slot = u32((i * 1234547u) >> 19) & (B - 1);
+          u32 e = (u32(i) << ts) | (in[i + tagoff] & tmask);
           if (min_match2) {
-            ht2[(h2 ^ ih) & hmask] = u32(i + 1);
+            ht2[(size_t(h2 & rows_mask) << dl) + slot] = e;
             h2 = ((h2 * 9) << shift2)
                  + (u32(in[i + min_match2 + lookahead]) + 1) * 23456789u;
-            h2 &= hmask;
           }
-          ht1[(h1 ^ ih) & hmask] = u32(i + 1);
+          ht1[(size_t(h1 & rows_mask) << dl) + slot] = e;
           h1 = ((h1 * 5) << shift1)
                + (u32(in[i + min_match]) + 1) * 123456791u;
-          h1 &= hmask;
         }
       }
       if (matched) lit_start = i;
