@@ -345,6 +345,14 @@ void Predictor::init(const Header& hd) {
         break;
       default: throw format_error("unknown component type");
     }
+    cr.type = cp[0];
+    cr.p1 = cp.size() > 1 ? cp[1] : 0;
+    cr.p2 = cp.size() > 2 ? cp[2] : 0;
+    cr.p3 = cp.size() > 3 ? cp[3] : 0;
+    cr.p4 = cp.size() > 4 ? cp[4] : 0;
+    cr.p5 = cp.size() > 5 ? cp[5] : 0;
+    cr.cmmask = cr.cm.empty() ? 0 : u32(cr.cm.size() - 1);
+    cr.htmask = cr.ht.empty() ? 0 : u32(cr.ht.size() - 1);
   }
 }
 
@@ -370,64 +378,62 @@ int Predictor::predict() {
   int n = hdr.n();
   for (int i = 0; i < n; ++i) {
     Comp& cr = comp[i];
-    const std::vector<u8>& cp = hdr.comps[i];
-    switch (cp[0]) {
+    switch (cr.type) {
       case CONS: break;
       case CM:
-        cr.cxt = (h[i] ^ u32(hmap4)) & (cr.cm.size() - 1);
+        cr.cxt = (h[i] ^ u32(hmap4)) & cr.cmmask;
         p[i] = stretch(int(cr.cm[cr.cxt] >> 17));
         break;
       case ICM:
         if (c8 == 1 || (c8 & 0xf0) == 16)
-          cr.c = find(cr.ht, cp[1] + 2, h[i] + 16 * u32(c8));
+          cr.c = find(cr.ht, cr.p1 + 2, h[i] + 16 * u32(c8));
         cr.cxt = cr.ht[cr.c + (hmap4 & 15)];
         p[i] = stretch(int(cr.cm[cr.cxt]) >> 8);
         break;
       case MATCH:
         if (cr.a == 0) p[i] = 0;
         else {
-          cr.c = (cr.ht[(cr.limit - cr.b) & (cr.ht.size() - 1)] >>
+          cr.c = (cr.ht[(cr.limit - cr.b) & cr.htmask] >>
                   (7 - cr.cxt)) & 1;
           p[i] = stretch((g_tab.dt2k[cr.a] * (int(cr.c) * -2 + 1)) & 32767);
         }
         break;
       case AVG:
-        p[i] = (p[cp[1]] * cp[3] + p[cp[2]] * (256 - cp[3])) >> 8;
+        p[i] = (p[cr.p1] * cr.p3 + p[cr.p2] * (256 - cr.p3)) >> 8;
         break;
       case MIX2: {
-        cr.cxt = (h[i] + (c8 & cp[5])) & (cr.c - 1);
+        cr.cxt = (h[i] + (c8 & cr.p5)) & (cr.c - 1);
         int w = cr.a16[cr.cxt];
-        p[i] = (w * p[cp[2]] + (65536 - w) * p[cp[3]]) >> 16;
+        p[i] = (w * p[cr.p2] + (65536 - w) * p[cr.p3]) >> 16;
         break;
       }
       case MIX: {
-        int mm = cp[3];
-        cr.cxt = ((h[i] + (c8 & cp[5])) & (cr.c - 1)) * mm;
+        int mm = cr.p3;
+        cr.cxt = ((h[i] + (c8 & cr.p5)) & (cr.c - 1)) * mm;
         const i32* wt = (const i32*)&cr.cm[cr.cxt];
         int sum = 0;
-        for (int j = 0; j < mm; ++j) sum += (wt[j] >> 8) * p[cp[2] + j];
+        for (int j = 0; j < mm; ++j) sum += (wt[j] >> 8) * p[cr.p2 + j];
         p[i] = clamp2k(sum >> 8);
         break;
       }
       case ISSE: {
         if (c8 == 1 || (c8 & 0xf0) == 16)
-          cr.c = find(cr.ht, cp[1] + 2, h[i] + 16 * u32(c8));
+          cr.c = find(cr.ht, cr.p1 + 2, h[i] + 16 * u32(c8));
         cr.cxt = cr.ht[cr.c + (hmap4 & 15)];
         const i32* wt = (const i32*)&cr.cm[cr.cxt * 2];
-        p[i] = clamp2k((wt[0] * p[cp[2]] + wt[1] * 64) >> 16);
+        p[i] = clamp2k((wt[0] * p[cr.p2] + wt[1] * 64) >> 16);
         break;
       }
       case SSE: {
         cr.cxt = (h[i] + u32(c8)) * 32;
-        int pq = p[cp[2]] + 992;
+        int pq = p[cr.p2] + 992;
         if (pq < 0) pq = 0;
         if (pq > 1983) pq = 1983;
         int wt = pq & 63;
         pq >>= 6;
         cr.cxt += u32(pq);
-        size_t sz = cr.cm.size();
-        p[i] = stretch(((int(cr.cm[cr.cxt & (sz - 1)] >> 10) * (64 - wt) +
-                         int(cr.cm[(cr.cxt + 1) & (sz - 1)] >> 10) * wt)
+        p[i] = stretch(((int(cr.cm[cr.cxt & cr.cmmask] >> 10) * (64 - wt) +
+                         int(cr.cm[(cr.cxt + 1) & cr.cmmask] >> 10) * wt)
                         >> 13));
         cr.cxt += u32(wt >> 5);
         break;
@@ -439,20 +445,20 @@ int Predictor::predict() {
 }
 
 void Predictor::train(Comp& cr, int y) {
-  u32 pn = cr.cm[cr.cxt & (cr.cm.size() - 1)];
+  u32& slot = cr.cm[cr.cxt & cr.cmmask];
+  u32 pn = slot;
   u32 count = pn & 0x3ff;
   int error = y * 32767 - int(pn >> 17);
   pn += u32(error * g_tab.dt[count]) & u32(-1024);
   pn += count < cr.limit;
-  cr.cm[cr.cxt & (cr.cm.size() - 1)] = pn;
+  slot = pn;
 }
 
 void Predictor::update(int y) {
   int n = hdr.n();
   for (int i = 0; i < n; ++i) {
     Comp& cr = comp[i];
-    const std::vector<u8>& cp = hdr.comps[i];
-    switch (cp[0]) {
+    switch (cr.type) {
       case CM: train(cr, y); break;
       case ICM: {
         size_t idx = cr.c + (hmap4 & 15);
@@ -462,27 +468,27 @@ void Predictor::update(int y) {
         break;
       }
       case MATCH: {
-        size_t mask = cr.ht.size() - 1;
+        size_t mask = cr.htmask;
         if (int(cr.c) != y) cr.a = 0;
         cr.ht[cr.limit & mask] = u8(cr.ht[cr.limit & mask] * 2 + y);
         if (++cr.cxt == 8) {
           cr.cxt = 0;
           cr.limit = (cr.limit + 1) & mask;
           if (cr.a == 0) {
-            cr.b = (cr.limit - cr.cm[h[i] & (cr.cm.size() - 1)]);
+            cr.b = (cr.limit - cr.cm[h[i] & cr.cmmask]);
             if (cr.b & mask)
               while (cr.a < 255 &&
                      cr.ht[(cr.limit - cr.a - 1) & mask] ==
                          cr.ht[(cr.limit - cr.a - cr.b - 1) & mask])
                 ++cr.a;
           } else if (cr.a < 255) ++cr.a;
-          cr.cm[h[i] & (cr.cm.size() - 1)] = u32(cr.limit);
+          cr.cm[h[i] & cr.cmmask] = u32(cr.limit);
         }
         break;
       }
       case MIX2: {
-        int err = ((y * 32767 - squash(p[i])) * cp[4]) >> 5;
-        int w = cr.a16[cr.cxt] + ((err * (p[cp[2]] - p[cp[3]]) + (1 << 12))
+        int err = ((y * 32767 - squash(p[i])) * cr.p4) >> 5;
+        int w = cr.a16[cr.cxt] + ((err * (p[cr.p2] - p[cr.p3]) + (1 << 12))
                                   >> 13);
         if (w < 0) w = 0;
         if (w > 65535) w = 65535;
@@ -490,17 +496,17 @@ void Predictor::update(int y) {
         break;
       }
       case MIX: {
-        int mm = cp[3];
-        int err = ((y * 32767 - squash(p[i])) * cp[4]) >> 4;
+        int mm = cr.p3;
+        int err = ((y * 32767 - squash(p[i])) * cr.p4) >> 4;
         i32* wt = (i32*)&cr.cm[cr.cxt];
         for (int j = 0; j < mm; ++j)
-          wt[j] = clamp512k(wt[j] + ((err * p[cp[2] + j] + (1 << 12)) >> 13));
+          wt[j] = clamp512k(wt[j] + ((err * p[cr.p2 + j] + (1 << 12)) >> 13));
         break;
       }
       case ISSE: {
         int err = y * 32767 - squash(p[i]);
         i32* wt = (i32*)&cr.cm[cr.cxt * 2];
-        wt[0] = clamp512k(wt[0] + ((err * p[cp[2]] + (1 << 12)) >> 13));
+        wt[0] = clamp512k(wt[0] + ((err * p[cr.p2] + (1 << 12)) >> 13));
         wt[1] = clamp512k(wt[1] + ((err + 16) >> 5));
         cr.ht[cr.c + (hmap4 & 15)] = g_tab.sns[cr.cxt * 4 + y];
         break;

@@ -99,6 +99,11 @@ struct Comp {
   std::vector<u32> cm;
   std::vector<u8> ht;
   std::vector<u16> a16;
+  // cached per-bit-loop descriptor (filled by Predictor::init): component
+  // arg bytes and table masks, so predict/update never chase the
+  // vector<vector<u8>> header or reload vector sizes in the hot loop
+  u8 type = 0, p1 = 0, p2 = 0, p3 = 0, p4 = 0, p5 = 0;
+  u32 cmmask = 0, htmask = 0;
 };
 
 struct Predictor {
