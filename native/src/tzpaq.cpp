@@ -65,6 +65,7 @@ static void sha1_blocks_ni(u32 h[5], const u8* p, size_t nblocks) {
       MSG[j] = _mm_shuffle_epi8(
           _mm_loadu_si128((const __m128i*)(p + 16 * j)), MASK);
     __m128i E = _mm_setzero_si128();
+#pragma GCC unroll 20
     for (int i = 0; i < 20; ++i) {
       __m128i cur = MSG[i & 3];
       __m128i e_in = (i == 0) ? _mm_add_epi32(E0, cur)
