@@ -696,9 +696,18 @@ def add(archive: str, files: Sequence[str], method: str = "1",
 
         # ---- compress d blocks: device lanes or pipelined host threads ----
         if not pipeline_host:
-            from ..parallel.engine import encode_jidac_blocks
-            d_blocks = encode_jidac_blocks(model, pre, jobs, date, _jdc_name,
-                                           verify=verify)
+            try:
+                from ..parallel.engine import encode_jidac_blocks
+                d_blocks = encode_jidac_blocks(model, pre, jobs, date,
+                                               _jdc_name, verify=verify)
+            except Exception as e:  # noqa: BLE001 — dead chip, not bad data
+                # a crashed/hung tunnel chip must never fail an add: the
+                # host engine produces the same archive bytes
+                import sys
+                print(f"zpaqfranz-tpu: device encode unavailable "
+                      f"({type(e).__name__}); falling back to host",
+                      file=sys.stderr)
+                d_blocks = [_compress_job(j) for j in jobs]
         else:
             d_blocks = [f.result() for f in d_futs]
     finally:

@@ -117,11 +117,23 @@ def extract(data, jd: Jidac, to_dir: str,
     threads = threads or min(32, (os.cpu_count() or 4))
 
     if use_device:
-        from ..parallel.engine import decode_jidac_blocks
-        decoded = decode_jidac_blocks(data, jd, blocks)
-        for blk in blocks:
-            frag_bytes.update(_verify_fragments(jd, blk, decoded[blk.offset]))
-    else:
+        # a dead/hung tunnel chip must never fail an extract: any device
+        # error falls back to the host thread pool (same bytes either way)
+        try:
+            from ..parallel.engine import decode_jidac_blocks
+            decoded = decode_jidac_blocks(data, jd, blocks)
+            for blk in blocks:
+                frag_bytes.update(
+                    _verify_fragments(jd, blk, decoded[blk.offset]))
+        except Exception as e:  # noqa: BLE001 — host re-derives and re-raises
+            # genuine corruption too: the host decode is the ground truth
+            # and reproduces the same ExtractError if the data is bad
+            import sys
+            print(f"zpaqfranz-tpu: device decode unavailable "
+                  f"({type(e).__name__}); falling back to host", file=sys.stderr)
+            use_device = False
+            frag_bytes.clear()
+    if not use_device:
         def work(blk: Block) -> Dict[int, bytes]:
             return _verify_fragments(jd, blk, _decode_block(data, blk))
 
@@ -170,7 +182,13 @@ def verify_archive(data, jd: Jidac, threads: int = 0,
     data = as_source(data)
     threads = threads or min(32, (os.cpu_count() or 4))
     if use_device:
-        return _verify_archive_device(data, jd, threads)
+        try:
+            return _verify_archive_device(data, jd, threads)
+        except Exception as e:  # noqa: BLE001 — dead chip; host re-derives
+            import sys
+            print(f"zpaqfranz-tpu: device verify unavailable "
+                  f"({type(e).__name__}); falling back to host",
+                  file=sys.stderr)
     nfrag = 0
 
     def work(blk: Block) -> int:
