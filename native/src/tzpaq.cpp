@@ -1407,6 +1407,24 @@ void tz_sha1(const u8* data, size_t n, u8* out20) {
   s.final(out20);
 }
 
+// SHA-1 of `count` consecutive spans of one buffer (span i =
+// [ends[i-1], ends[i])), pairing spans through the two-stream SHA-NI
+// loop — the verify/extract fragment-check hot path.
+void tz_sha1_many(const u8* data, const u32* ends, size_t count, u8* out) {
+  size_t start = 0, i = 0;
+  for (; i + 1 < count; i += 2) {
+    size_t mid = ends[i];
+    sha1_pair(data + start, mid - start, out + i * 20,
+              data + mid, ends[i + 1] - mid, out + (i + 1) * 20);
+    start = ends[i + 1];
+  }
+  if (i < count) {
+    SHA1 s;
+    s.update(data + start, ends[i] - start);
+    s.final(out + i * 20);
+  }
+}
+
 void tz_e8e9(u8* buf, i64 n) { e8e9(buf, n); }
 void tz_inverse_e8e9(u8* buf, i64 n) { inverse_e8e9(buf, n); }
 

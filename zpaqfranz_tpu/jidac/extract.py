@@ -14,7 +14,6 @@ batches many blocks as decoder lanes instead; see ops/coder_batched.py.)
 from __future__ import annotations
 
 import concurrent.futures
-import hashlib
 import os
 import pathlib
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -47,19 +46,33 @@ def _decode_block(src, blk: Block) -> bytes:
     return out
 
 
+def _check_fragments(jd: Jidac, blk: Block, out: bytes) -> None:
+    """Verify the block's fragment SHA-1s in one native batched call
+    (two-stream SHA-NI over consecutive spans; no per-fragment slicing)."""
+    from .. import native
+    ends: List[int] = []
+    q = 0
+    for j in range(blk.start, blk.start + blk.frags):
+        q += jd.ht[j].usize
+        ends.append(q)
+    if q > len(out):
+        raise ExtractError(f"block at {blk.offset}: decoded short "
+                           f"({len(out)} < {q})")
+    digests = native.sha1_spans(out, ends)
+    for k, j in enumerate(range(blk.start, blk.start + blk.frags)):
+        want = jd.ht[j].sha1
+        if want != b"\x00" * 20 and digests[k * 20:(k + 1) * 20] != want:
+            raise ExtractError(f"fragment {j}: checksum failed")
+
+
 def _verify_fragments(jd: Jidac, blk: Block, out: bytes) -> Dict[int, bytes]:
     """Split decoded block bytes into fragments, checking SHA-1s."""
+    _check_fragments(jd, blk, out)
     frags: Dict[int, bytes] = {}
     q = 0
     for j in range(blk.start, blk.start + blk.frags):
         usize = jd.ht[j].usize
-        piece = out[q:q + usize]
-        if len(piece) != usize:
-            raise ExtractError(f"fragment {j}: incomplete")
-        if jd.ht[j].sha1 != b"\x00" * 20:
-            if hashlib.sha1(piece).digest() != jd.ht[j].sha1:
-                raise ExtractError(f"fragment {j}: checksum failed")
-        frags[j] = piece
+        frags[j] = out[q:q + usize]
         q += usize
     return frags
 
@@ -192,7 +205,7 @@ def verify_archive(data, jd: Jidac, threads: int = 0,
     nfrag = 0
 
     def work(blk: Block) -> int:
-        _verify_fragments(jd, blk, _decode_block(data, blk))
+        _check_fragments(jd, blk, _decode_block(data, blk))
         return blk.frags
 
     with concurrent.futures.ThreadPoolExecutor(max_workers=threads) as ex:

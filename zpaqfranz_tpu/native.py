@@ -99,6 +99,8 @@ def _load():
         C.c_char_p, C.c_size_t, C.c_char_p, C.c_char_p,
         C.c_char_p, C.c_int, C.c_char_p, C.c_size_t]
     lib.tz_sha1.argtypes = [C.c_char_p, C.c_size_t, C.c_char_p]
+    lib.tz_sha1_many.argtypes = [C.c_char_p, C.POINTER(C.c_uint32),
+                                 C.c_size_t, C.c_char_p]
     lib.tz_e8e9.argtypes = [C.c_char_p, C.c_int64]
     lib.tz_inverse_e8e9.argtypes = [C.c_char_p, C.c_int64]
     lib.tz_postprocess.restype = C.c_long
@@ -305,6 +307,20 @@ def sha1(data: bytes) -> bytes:
     lib = _load()
     out = C.create_string_buffer(20)
     lib.tz_sha1(data, len(data), out)
+    return out.raw
+
+
+def sha1_spans(data, ends) -> bytes:
+    """SHA-1 of consecutive spans of one buffer (span i ends at ends[i],
+    starts at ends[i-1] or 0): count*20 digest bytes in one GIL-released
+    call through the two-stream SHA-NI loop (fragment verify hot path)."""
+    lib = _load()
+    n = len(ends)
+    if n == 0:
+        return b""
+    arr = (C.c_uint32 * n)(*ends)
+    out = C.create_string_buffer(n * 20)
+    lib.tz_sha1_many(_as_cptr(data), arr, n, out)
     return out.raw
 
 
