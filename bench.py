@@ -114,6 +114,11 @@ def _bench_levels(detail: dict) -> None:
             "decode_MBps": round(n / dec_s / 1e6, 2),
         }
     detail["levels"] = levels
+    # calibrate the device-policy gate: the host CM rate is the bar the
+    # device codec must clear before auto mode routes product work to it
+    from zpaqfranz_tpu import device_policy
+    device_policy.record(codec_host_MBps=min(levels["4"]["encode_MBps"],
+                                             levels["4"]["decode_MBps"]))
 
 
 def _bench_device(detail: dict) -> None:
@@ -187,6 +192,10 @@ def _bench_device(detail: dict) -> None:
         assert back == payloads, "device decode round-trip failed"
         detail["device"]["cm_m4_lanes"]["decode_MBps"] = round(
             tot / dec_s / 1e6, 4)
+        # calibrate the auto-device gate from the measured rates
+        from zpaqfranz_tpu import device_policy
+        device_policy.record(
+            codec_device_MBps=min(tot / warm_s / 1e6, tot / dec_s / 1e6))
         # --- Pallas SHA-1 hash lanes (verify hot path) -------------------
         # on-chip rate with resident data: host<->device transfer on a
         # tunneled chip (~100 ms latency, ~10 MB/s readback) is deployment
@@ -217,10 +226,13 @@ def _bench_golden_parity(detail: dict) -> None:
         root = os.path.dirname(os.path.abspath(__file__))
         env = dict(os.environ)
         env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+        # -notpu: the metric is compression-RATIO parity, host-path by
+        # definition; round 3 burned the whole 600 s watchdog because the
+        # child defaulted to the (then-hanging) device engine (ADVICE r3)
         r = subprocess.run(
             [sys.executable, "-m", "zpaqfranz_tpu.cli", "x", golden,
-             "-to", str(td / "files")],
-            capture_output=True, timeout=600, cwd=root, env=env, text=True)
+             "-to", str(td / "files"), "-notpu"],
+            capture_output=True, timeout=420, cwd=root, env=env, text=True)
         if r.returncode != 0:
             detail["golden_m5"] = {"error": "extract failed",
                                    "tail": (r.stderr or r.stdout)[-200:]}

@@ -9,6 +9,7 @@
 #include "tzpaq.h"
 
 #include <algorithm>
+#include <mutex>
 #include <cassert>
 #include <cstdlib>
 #include <fcntl.h>
@@ -2342,8 +2343,8 @@ size_t tz_lz77p_decode(const u8* in, size_t n, int rb, u8* out, size_t cap) {
 // mean_bits: mean fragment = 2^mean_bits bytes; min = mean/16, max = mean*8.
 // Writes fragment END offsets (exclusive); returns count (<= cap).
 static u64 gear_tab[256];
-static bool gear_ready = false;
-static void gear_init() {
+static std::once_flag gear_once;   // concurrent first calls from GIL-released
+static void gear_init() {          // pool workers must not race the table fill
   u64 x = 0x2545F4914F6CDD1DULL;       // fixed seed: boundaries are format-
   for (int i = 0; i < 256; ++i) {      // stable across builds and hosts
     x += 0x9E3779B97F4A7C15ULL;        // splitmix64
@@ -2352,7 +2353,6 @@ static void gear_init() {
     z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
     gear_tab[i] = z ^ (z >> 31);
   }
-  gear_ready = true;
 }
 
 // k set bits spread over the gear hash's upper half (newest bytes live in
@@ -2365,7 +2365,7 @@ static inline u64 gear_mask(int k) {
 
 size_t tz_cdc(const u8* data, size_t n, int mean_bits,
               u32* ends, size_t cap) {
-  if (!gear_ready) gear_init();
+  std::call_once(gear_once, gear_init);
   if (mean_bits < 6) mean_bits = 6;
   const size_t mean = size_t(1) << mean_bits;
   const size_t minfrag = mean / 16;
@@ -2457,7 +2457,7 @@ u64 tz_xxh64(const u8* p, size_t len, u64 seed) {
 
 // CRC-32 (IEEE 802.3, reflected), table-driven.
 static u32 crc_table[16][256];
-static bool crc_ready = false;
+static std::once_flag crc_once;
 
 static void crc_init() {
   for (u32 i = 0; i < 256; ++i) {
@@ -2469,7 +2469,6 @@ static void crc_init() {
     for (u32 i = 0; i < 256; ++i)
       crc_table[t][i] = crc_table[0][crc_table[t - 1][i] & 0xFF]
                         ^ (crc_table[t - 1][i] >> 8);
-  crc_ready = true;
 }
 
 // PCLMUL carry-less folding for the same reflected CRC-32 (Intel folding
@@ -2527,22 +2526,24 @@ static u32 crc32_clmul(u32 crc, const u8* data, size_t n) {
   return crc32_slice16(crc, data, n);
 }
 
-static int g_crc_clmul = -1;   // -1 unknown, 0 off, 1 on
+static int g_crc_clmul = 0;    // set once under crc_once (data-race-free:
+                               // readers observe the release in call_once)
+
+static void crc_probe_clmul() {
+  crc_init();
+  if (__builtin_cpu_supports("pclmul") && __builtin_cpu_supports("sse4.1")) {
+    u8 probe[257];
+    for (int i = 0; i < 257; ++i) probe[i] = u8(i * 73 + 11);
+    g_crc_clmul = crc32_clmul(0xFFFFFFFFu, probe, 257)
+                  == crc32_slice16(0xFFFFFFFFu, probe, 257);
+  }
+}
 
 // IEEE 802.3 reflected CRC-32, slice-by-16 (byte-at-a-time is ~0.4 GB/s and
 // sits on the add/verify hot path; the 16-lane table walk reaches >2 GB/s,
 // the PCLMUL fold >10 GB/s)
 u32 tz_crc32(u32 crc, const u8* data, size_t n) {
-  if (!crc_ready) crc_init();
-  if (g_crc_clmul < 0) {
-    g_crc_clmul = 0;
-    if (__builtin_cpu_supports("pclmul") && __builtin_cpu_supports("sse4.1")) {
-      u8 probe[257];
-      for (int i = 0; i < 257; ++i) probe[i] = u8(i * 73 + 11);
-      g_crc_clmul = crc32_clmul(0xFFFFFFFFu, probe, 257)
-                    == crc32_slice16(0xFFFFFFFFu, probe, 257);
-    }
-  }
+  std::call_once(crc_once, crc_probe_clmul);
   crc = ~crc;
   if (g_crc_clmul && n >= 64)
     return ~crc32_clmul(crc, data, n);

@@ -96,19 +96,18 @@ def _key(sw) -> Optional[str]:
     return None
 
 
-def _use_device(sw) -> bool:
-    """Device coding lanes default ON when a real TPU backend is present
-    (the TPU path is the product, not an opt-in); `-tpu` forces it on
-    anywhere, `-notpu` forces it off."""
+def _use_device(sw) -> Optional[bool]:
+    """Tri-state device-engine selection: `-tpu` forces on, `-notpu` off,
+    otherwise None = auto. Auto is evidence-based (device_policy.resolve):
+    the device codec runs only when a measured rate on this machine says
+    it beats the host engine for the job size — a TPU backend being
+    *present* is not evidence it is *faster* (round-3 lesson: a contended
+    tunnel chip hung product extracts the host finishes in seconds)."""
     if "notpu" in sw:
         return False
     if "tpu" in sw:
         return True
-    try:
-        import jax
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
+    return None
 
 
 def _load_index(archive: str, sw):
@@ -251,7 +250,7 @@ def cmd_test(archive, files, sw) -> int:
     t0 = time.time()
     nblocks, nfrags = verify_archive(
         data, jd, threads=int(sw.get("threads", ["0"])[0]),
-        use_device=_use_device(sw) or "ssd" in sw)
+        use_device=True if "ssd" in sw else _use_device(sw))
     dt = time.time() - t0
     usize = sum(b.usize for b in jd.block)
     print(f"tested {nblocks} blocks, {nfrags} fragments, "

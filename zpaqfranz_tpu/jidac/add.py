@@ -584,7 +584,7 @@ def add(archive: str, files: Sequence[str], method: str = "1",
         fragment_bits: int = 16, threads: int = 0,
         date: Optional[int] = None, summary: bool = False,
         key: Optional[str] = None,
-        use_device: bool = False,
+        use_device: Optional[bool] = False,
         index_path: Optional[str] = None,
         chunk: int = 0,
         notrim: bool = False,
@@ -673,9 +673,12 @@ def add(archive: str, files: Sequence[str], method: str = "1",
     cx_threads = threads or max(2, min(8, (os.cpu_count() or 4)))
     cx = _fut.ThreadPoolExecutor(max_workers=cx_threads)
     d_futs: List["_fut.Future"] = []
+    from ..device_policy import deadline_for, resolve, run_with_deadline
+    est_bytes = sum(ext[n][1] for n in changed)
+    use_device = resolve(use_device, "codec", est_bytes)
     pipeline_host = not (use_device and model is not None and model.n > 0)
     try:
-        total_bytes = sum(ext[n][1] for n in changed)
+        total_bytes = est_bytes
         done_bytes = 0
         with _fut.ThreadPoolExecutor(max_workers=hash_threads) as hx:
             for name, (data, sums, frags) in zip(
@@ -698,11 +701,14 @@ def add(archive: str, files: Sequence[str], method: str = "1",
         if not pipeline_host:
             try:
                 from ..parallel.engine import encode_jidac_blocks
-                d_blocks = encode_jidac_blocks(model, pre, jobs, date,
-                                               _jdc_name, verify=verify)
+                d_blocks = run_with_deadline(
+                    lambda: encode_jidac_blocks(model, pre, jobs, date,
+                                                _jdc_name, verify=verify),
+                    deadline_for(est_bytes), "add encode")
             except Exception as e:  # noqa: BLE001 — dead chip, not bad data
-                # a crashed/hung tunnel chip must never fail an add: the
-                # host engine produces the same archive bytes
+                # a crashed, hung, or deadline-blown tunnel chip must never
+                # fail an add: the host engine produces the same archive
+                # bytes (the hang mode raises nothing, hence the deadline)
                 import sys
                 print(f"zpaqfranz-tpu: device encode unavailable "
                       f"({type(e).__name__}); falling back to host",

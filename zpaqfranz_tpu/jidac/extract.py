@@ -104,13 +104,14 @@ def select_files(jd: Jidac, patterns: Sequence[str]) -> List[str]:
 
 def extract(data, jd: Jidac, to_dir: str,
             patterns: Sequence[str] = (), threads: int = 0,
-            dry_run: bool = False, use_device: bool = False,
+            dry_run: bool = False, use_device: Optional[bool] = None,
             progress=None, rename=None) -> Tuple[int, int]:
     """Extract selected files under ``to_dir``. Returns (files, bytes).
 
     ``data``: archive bytes or a streaming ArchiveSource.
     ``use_device``: decode modeled blocks as batched lanes on the JAX
-    device (TPU) instead of host threads (parallel/engine.py).
+    device (TPU) instead of host threads (parallel/engine.py). True/False
+    force; None = auto per device_policy (calibration-gated).
     ``rename``: optional name->name mapping applied to output paths (the
     reference's -find/-replace substitution, CHANGELOG.md v60 t/x)."""
     data = as_source(data)
@@ -129,12 +130,18 @@ def extract(data, jd: Jidac, to_dir: str,
     frag_bytes: Dict[int, bytes] = {}
     threads = threads or min(32, (os.cpu_count() or 4))
 
+    est = sum(b.usize for b in blocks)
+    from ..device_policy import deadline_for, resolve, run_with_deadline
+    use_device = resolve(use_device, "codec", est)
     if use_device:
-        # a dead/hung tunnel chip must never fail an extract: any device
-        # error falls back to the host thread pool (same bytes either way)
+        # a dead/hung/SLOW tunnel chip must never fail an extract: device
+        # errors AND wall-clock deadline expiry (the observed hang mode
+        # raises nothing) fall back to the host pool — same bytes either way
         try:
             from ..parallel.engine import decode_jidac_blocks
-            decoded = decode_jidac_blocks(data, jd, blocks)
+            decoded = run_with_deadline(
+                lambda: decode_jidac_blocks(data, jd, blocks),
+                deadline_for(est), "extract decode")
             for blk in blocks:
                 frag_bytes.update(
                     _verify_fragments(jd, blk, decoded[blk.offset]))
@@ -184,19 +191,25 @@ def extract(data, jd: Jidac, to_dir: str,
 
 
 def verify_archive(data, jd: Jidac, threads: int = 0,
-                   use_device: bool = False) -> Tuple[int, int]:
+                   use_device: Optional[bool] = None) -> Tuple[int, int]:
     """Integrity test: decode every block, verify every fragment SHA-1
     (the reference 't' command's phase 1). Returns (blocks, fragments).
 
     use_device batches all fragment hashes through the lane-parallel
     SHA-1 kernel (ops/hash_batched.py) instead of hashing on host
     threads — the TPU mapping of the reference's multithreaded CRC/SHA
-    rebuild (reference CHANGELOG.md:73-76)."""
+    rebuild (reference CHANGELOG.md:73-76). None = auto (calibration-gated
+    per device_policy); forced or auto, the call runs under a wall-clock
+    deadline with host fallback."""
     data = as_source(data)
     threads = threads or min(32, (os.cpu_count() or 4))
-    if use_device:
+    est = sum(b.usize for b in jd.block)
+    from ..device_policy import deadline_for, resolve, run_with_deadline
+    if resolve(use_device, "hash", est):
         try:
-            return _verify_archive_device(data, jd, threads)
+            return run_with_deadline(
+                lambda: _verify_archive_device(data, jd, threads),
+                deadline_for(est), "device verify")
         except Exception as e:  # noqa: BLE001 — dead chip; host re-derives
             import sys
             print(f"zpaqfranz-tpu: device verify unavailable "
