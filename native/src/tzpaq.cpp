@@ -2060,7 +2060,195 @@ static size_t lz77_scored_core(const u8* in, size_t n, int fmt,
   size_t i = 0;
   size_t lit = 0;  // pending literal count (scoring cares if nonzero)
 
-  if (use_sa) {
+  if (use_sa == 2) {
+    // ---- chain mode: head/prev linked candidate lists, newest-first ----
+    // The -m2-class finder: candidate quality approaches the suffix-array
+    // mode (chains enumerate ALL prior positions with the same 4-byte
+    // prefix, closest first — exactly the order the score prefers) at
+    // hash-table build cost instead of an O(n log n) suffix sort. The
+    // reference reaches its -m2 speed with divsufsort (libzpaq.cpp:6304);
+    // ours replaces the sort with chains — stream format is identical,
+    // boundaries are an encoder choice.
+    int hb = hash_bits;
+    if (hb < 15) hb = 15;
+    if (hb > 27) hb = 27;
+    // head tables are 4<<hb bytes each regardless of input size: clamp to
+    // ~2 slots per position so small blocks do not pay 64 MB of memset
+    while (hb > 15 && (size_t(1) << hb) > 2 * n) --hb;
+    const int depth = depth_log > 0 ? (1 << depth_log) : 32;
+    static thread_local u32* chead = nullptr;
+    static thread_local u32* cprev = nullptr;
+    static thread_local size_t chead_cap = 0, cprev_cap = 0;
+    const size_t want_head = size_t(1) << hb;
+    if (chead_cap < want_head) {
+      free(chead);
+      chead = (u32*)malloc(want_head * 4);
+      chead_cap = chead ? want_head : 0;
+    }
+    if (cprev_cap < n) {
+      free(cprev);
+      cprev = (u32*)malloc(n * 4);
+      cprev_cap = cprev ? n : 0;
+    }
+    if (!chead_cap || !cprev_cap) {      // OOM: all-literals stays valid
+      flush_literals(n);
+      if (fmt == 1 && bnb > 0) put(u8(bbits));
+      return w;
+    }
+    // second chain over 12-byte prefixes: on word-structured text the
+    // 4-byte chains saturate with short-prefix hits and `depth` probes
+    // never reach the long match; 12 bytes of shared prefix thins each
+    // bucket to candidates that all extend far, so a few probes find
+    // SA-class matches
+    static thread_local u32* chead12 = nullptr;
+    static thread_local u32* cprev12 = nullptr;
+    static thread_local size_t chead12_cap = 0, cprev12_cap = 0;
+    if (chead12_cap < want_head) {
+      free(chead12);
+      chead12 = (u32*)malloc(want_head * 4);
+      chead12_cap = chead12 ? want_head : 0;
+    }
+    if (cprev12_cap < n) {
+      free(cprev12);
+      cprev12 = (u32*)malloc(n * 4);
+      cprev12_cap = cprev12 ? n : 0;
+    }
+    if (!chead12_cap || !cprev12_cap) {
+      flush_literals(n);
+      if (fmt == 1 && bnb > 0) put(u8(bbits));
+      return w;
+    }
+    memset(chead, 0xFF, want_head * 4);  // 0xFFFFFFFF = empty (>= any i)
+    memset(chead12, 0xFF, want_head * 4);
+    auto h4 = [&](size_t p) {
+      u32 v;
+      memcpy(&v, in + p, 4);
+      return (v * 2654435761u) >> (32 - hb);
+    };
+    auto h12 = [&](size_t p) {
+      u64 a, b;
+      memcpy(&a, in + p, 8);
+      memcpy(&b, in + p + 4, 8);       // bytes 4..11
+      return u32(((a * 0x9E3779B97F4A7C15ULL)
+                  ^ (b * 0xC2B2AE3D27D4EB4FULL)) >> (64 - hb));
+    };
+    auto cinsert = [&](size_t p) {
+      u32 h = h4(p);
+      cprev[p] = chead[h];
+      chead[h] = u32(p);
+      if (p + 12 <= n) {
+        u32 g = h12(p);
+        cprev12[p] = chead12[g];
+        chead12[g] = u32(p);
+      }
+    };
+    const size_t maxoff = fmt == 1
+        ? (size_t(1) << (24 + rb)) - (size_t(1) << rb) : ~size_t(0);
+    auto probe = [&](size_t at, size_t& blen, size_t& bp) -> int {
+      int bscore = 0;
+      blen = 0;
+      bp = 0;
+      if (at + 4 > n) return 0;
+      if (at + 12 <= n) {
+        u32 p = chead12[h12(at)];
+        for (int k = 0; k < depth; ++k) {
+          if (p == 0xFFFFFFFFu || size_t(p) >= at) break;
+          if (at - p > maxoff) break;
+          if (blen == 0 || (at + blen < n && in[p + blen] == in[at + blen])) {
+            size_t l = fwd_len(p, at, 0);
+            int score = int(l) * 8 - lg32(u32(at - p)) - 2 * (lit > 0) - 11;
+            if (l >= size_t(min_match) && score > bscore) {
+              bscore = score; blen = l; bp = p;
+              if (blen >= 1024) break;
+            }
+          }
+          p = cprev12[p];
+        }
+        // a 64+ byte match from the long-prefix chain is near-certainly
+        // the parse winner; the h4 chain could only trade distance
+        if (blen >= 64) return bscore;
+      }
+      u32 p = chead[h4(at)];
+      for (int k = 0; k < depth; ++k) {
+        if (p == 0xFFFFFFFFu || size_t(p) >= at) break;
+        if (at - p > maxoff) break;      // chains are newest-first: done
+        // extend-best reject: to beat blen the candidate must match at
+        // byte blen too (p+blen < at+blen <= n; when at+blen == n nothing
+        // can beat blen, so the bounds check doubles as the early-out)
+        if (blen == 0 || (at + blen < n && in[p + blen] == in[at + blen])) {
+          size_t l = fwd_len(p, at, 0);
+          int score = int(l) * 8 - lg32(u32(at - p)) - 2 * (lit > 0) - 11;
+          if (l >= size_t(min_match) && score > bscore) {
+            bscore = score; blen = l; bp = p;
+            if (blen >= 1024) break;     // good enough; stop probing
+          }
+        }
+        p = cprev[p];
+      }
+      return bscore;
+    };
+    while (i < n) {
+      size_t blen, bp;
+      int bscore = probe(i, blen, bp);
+      // one-step lazy parse: if deferring the match one byte buys a
+      // better-scoring one (8 = the cost of the literal it spends), code
+      // this position as a literal instead (the reference's lookahead
+      // analog for the hash finders; the SA mode scores lookahead
+      // explicitly with its 5/8 decay)
+      if (bscore > 0 && blen < 64 && i + 1 < n) {
+        size_t blen1, bp1;
+        int bscore1 = probe(i + 1, blen1, bp1);
+        if (bscore1 > bscore + 8) {
+          if (i + 4 <= n) cinsert(i);
+          ++i;
+          ++lit;
+          continue;
+        }
+        // fall through: emit the match at i
+      }
+      size_t off = i - bp;
+      int extra = fmt == 2
+          ? (off >= (1u << 16)) + (off >= (1u << 24)) : 0;
+      if (blen >= size_t(min_match + extra) && bscore > 0) {
+        flush_literals(i);
+        emit_match(blen, off);
+        size_t stop = i + blen;
+        // insert the full match body up to a cap, then go sparse: chains
+        // need dense coverage for row-structured data (CSV-like), but
+        // O(len) insertions on dedup-style multi-MB matches buy nothing
+        size_t dense = blen > 512 ? 512 : blen;
+        for (size_t j = i; j + 4 <= n && j < i + dense; ++j) cinsert(j);
+        size_t istep = blen > 64 ? blen / 32 : 1;
+        for (size_t j = i + dense; j + 4 <= n && j < stop; j += istep)
+          cinsert(j);
+        i = stop;
+        lit_start = i;
+        lit = 0;
+      } else {
+        if (i + 4 <= n) cinsert(i);
+        // literal-run skip-ahead with content-defined resync anchors
+        // (identical scheme to lz77_core: stride grows over unmatched
+        // runs; anchors keep long-range duplicates discoverable)
+        size_t run = i - lit_start;
+        size_t stride = 1 + (run >> 6);
+        if (stride > 1 && i + 5 <= n) {
+          size_t limp = i + stride;
+          if (limp + 4 > n) limp = n - 4;
+          size_t j = i + 1;
+          for (; j < limp; ++j) {
+            u32 v;
+            memcpy(&v, in + j, 4);
+            if ((v * 2246822519u) >> 26 == 0) break;   // 1/64 anchor
+          }
+          lit += j - i;
+          i = j;
+        } else {
+          i += stride;
+          lit += stride;
+        }
+      }
+    }
+  } else if (use_sa) {
     // ---- suffix-array mode: exact longest/closest candidates ----
     static thread_local i32* sa_buf = nullptr;
     static thread_local u32* isa_buf = nullptr;

