@@ -327,7 +327,7 @@ def test_add_resume_journal(tmp_path, monkeypatch):
     # interrupted run: crash at commit, after compression
     def boom(*a, **k):
         raise RuntimeError("simulated crash before commit")
-    monkeypatch.setattr(jadd, "commit_transaction", boom)
+    monkeypatch.setattr(jadd, "commit_transaction_stream", boom)
     with pytest.raises(RuntimeError):
         jadd.add("r.zpaq", ["t"], method="1", date=date, resume=True)
     monkeypatch.undo()

@@ -148,3 +148,51 @@ def test_list_memory_is_o_index(tmp_path):
                        capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stderr
     assert r.stdout.strip() == "ok"
+
+
+@pytest.mark.slow
+def test_bounded_ram_add_1gb(tmp_path):
+    """A >=1 GB add must run in O(jobs-in-flight) memory, not O(archive):
+    compressed d blocks spill to a sidecar file as jobs finish and the
+    commit streams c + spill + h + i to the archive in chunks
+    (jidac.add DBlockSpill / stream_transaction — the reference appends
+    per job thread as blocks complete, libzpaq.h:57-59).
+
+    The child asserts its own peak RSS (VmHWM — the kernel's high-water
+    resident mark, immune to parent-process accounting) stays under
+    300 MB. An RLIMIT_AS cap would over-count here: glibc per-thread
+    arenas and the native encoder's thread-local tables reserve ~2x more
+    address space than they ever touch."""
+    os.chdir(tmp_path)
+    # 32 x 32 MB of unique random data: incompressible, so the adaptive
+    # store path keeps the transaction ~input-sized (worst case for RAM)
+    _tree(tmp_path / "corpus", per_file=32 << 20, nfiles=32, seed=9)
+    code = (
+        "from zpaqfranz_tpu import native\n"
+        "native.ensure_built()\n"
+        "from zpaqfranz_tpu.jidac.add import add\n"
+        "n, frags, nbytes = add('big.zpaq', ['corpus'], method='1',\n"
+        "                       threads=2, date=20260102030405)\n"
+        "assert n == 32 and nbytes > (1000 << 20), (n, nbytes)\n"
+        "hwm = 0\n"
+        "for line in open('/proc/self/status'):\n"
+        "    if line.startswith('VmHWM'):\n"
+        "        hwm = int(line.split()[1]) * 1024\n"
+        "assert 0 < hwm < (300 << 20), f'peak RSS {hwm>>20} MB'\n"
+        "print('ok')\n"
+    )
+    env = dict(os.environ)
+    repo = str(pathlib.Path(__file__).resolve().parent.parent)
+    env["PYTHONPATH"] = repo
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run([sys.executable, "-c", code], cwd=tmp_path, env=env,
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert r.stdout.strip() == "ok"
+    arc = tmp_path / "big.zpaq"
+    assert arc.stat().st_size > (1000 << 20)
+    assert not (tmp_path / "big.zpaq.spill").exists()
+    # the archive must still read back correctly
+    src = ArchiveSource.from_spec("big.zpaq")
+    jd = read_archive_src(src)
+    assert sum(1 for d in jd.dt.values() if d.date) == 32

@@ -131,9 +131,9 @@ def _compress_d_block(model: Optional[Model], pre, job: _Job,
     reference Compressor::setVerify (libzpaq.h:513-531), which round-trips
     the preprocessor during compression instead of after the fact."""
     from ..parallel.engine import prepare_payload
-    comment = b"%d jDC\x01" % len(job.data)
+    raw = job_bytes(job)
+    comment = b"%d jDC\x01" % len(raw)
     name = _jdc_name(date, "d", job.first_frag)
-    raw = bytes(job.data)
     payload, store = prepare_payload(pre, raw)
     if store:
         return native.compress_block(_STORE_MODEL, raw, name, comment)
@@ -359,6 +359,97 @@ def job_bytes(job: _Job) -> bytes:
 # Stage 4: transaction assembly (c + d... + h... + i)
 # ---------------------------------------------------------------------------
 
+class DBlockSpill:
+    """Bounded-RAM d-block staging (reference parity: job threads append
+    compressed blocks as they finish — libzpaq.h:57-59 block independence,
+    zsfx.cpp:1731-1801 shows the streaming twin on extract. Round-3 review
+    flagged that we materialized every d block plus the whole transaction
+    in RAM, ~archive-sized for a 100 GB add).
+
+    Compressed d blocks are appended to a sidecar spill file in job order
+    and freed immediately; only their lengths stay in memory (the h blocks
+    need them). The commit streams c + spill + h + i to the archive in
+    chunks, so peak RSS is O(jobs in flight), not O(archive)."""
+
+    def __init__(self, path: pathlib.Path):
+        self.path = path
+        self._f = open(path, "wb")
+        self.lengths: List[int] = []
+
+    def append(self, dblk: bytes) -> None:
+        self._f.write(dblk)
+        self.lengths.append(len(dblk))
+
+    @property
+    def csize(self) -> int:
+        return sum(self.lengths)
+
+    def chunks(self, chunk: int = 8 << 20):
+        self._f.flush()
+        with open(self.path, "rb") as f:
+            while True:
+                piece = f.read(chunk)
+                if not piece:
+                    return
+                yield piece
+
+    def close(self) -> None:
+        try:
+            self._f.close()
+            self.path.unlink()
+        except OSError:
+            pass
+
+
+def stream_transaction(date: int, jobs: Sequence[_Job], spill: DBlockSpill,
+                       changed: Sequence[str], deleted: Sequence[str],
+                       ext: Dict[str, Tuple[int, int, int]],
+                       file_sums: Dict[str, Tuple[int, int]],
+                       file_ptrs: Dict[str, List[int]],
+                       first_frag: int,
+                       franz: str = "xxhash64"):
+    """Yield transaction pieces (c, d..., h..., i) without materializing
+    the whole transaction; also returns the small index copy (c+h+i, no d)
+    via the generator's final attribute — call collect_index() after
+    draining. Layouts identical to build_transaction."""
+    ix = bytearray()
+    store = Model(hh=0, hm=0)
+    cbody = struct.pack("<q", spill.csize)
+    cblk = native.compress_block(
+        store, cbody, _jdc_name(date, "c", first_frag),
+        b"%d jDC\x01" % len(cbody))
+    ix += cblk
+    yield cblk
+    yield from spill.chunks()
+    for job, dlen in zip(jobs, spill.lengths):
+        body = bytearray(struct.pack("<I", dlen))
+        for sha, usize in job.frags:
+            body += sha + struct.pack("<I", usize)
+        hblk = native.compress_block(
+            store, bytes(body), _jdc_name(date, "h", job.first_frag),
+            b"%d jDC\x01" % len(body))
+        ix += hblk
+        yield hblk
+    ibody = bytearray()
+    for name in deleted:
+        ibody += struct.pack("<q", 0) + name.encode() + b"\x00"
+    for name in changed:
+        fdate, fsize, fattr = ext[name]
+        ibody += struct.pack("<q", fdate) + name.encode() + b"\x00"
+        base = bytes([fattr & 255, (fattr >> 8) & 255, (fattr >> 16) & 255])
+        attr_bytes = base + _franz_block(franz, file_sums.get(name))
+        ibody += struct.pack("<I", len(attr_bytes)) + attr_bytes
+        ptrs = file_ptrs[name]
+        ibody += struct.pack("<I", len(ptrs))
+        ibody += struct.pack(f"<{len(ptrs)}I", *ptrs)
+    iblk = native.compress_block(
+        store, bytes(ibody), _jdc_name(date, "i", first_frag),
+        b"%d jDC\x01" % len(ibody))
+    ix += iblk
+    yield iblk
+    spill.index_bytes = bytes(ix)   # picked up by the caller post-drain
+
+
 def build_transaction(date: int, jobs: Sequence[_Job],
                       d_blocks: Sequence[bytes],
                       changed: Sequence[str], deleted: Sequence[str],
@@ -426,6 +517,80 @@ def _franz_block(franz: str, sums: Optional[Tuple[int, int]]) -> bytes:
 # ---------------------------------------------------------------------------
 # Stage 5: commit (encrypt + write/append)
 # ---------------------------------------------------------------------------
+
+def commit_transaction_stream(ctx: AppendCtx, pieces, ix_done,
+                              chunk: int = 0, tmp: bool = False,
+                              index_path: Optional[str] = None) -> int:
+    """Streaming commit: write transaction pieces to the archive in order,
+    encrypting chunk-by-chunk at the running absolute offset (CTR is
+    position-keyed, so chunking changes nothing). Returns bytes written.
+
+    ``ix_done()`` is called after the pieces are drained and must return
+    the detached-index bytes (c+h+i) for -index."""
+    from ..codec import crypto
+    disk_end = ctx.existing_len - ctx.trimmed
+    cipher = None
+    if ctx.key is not None:
+        cipher = crypto.Cipher.from_password(ctx.key, ctx.salt)
+
+    total = 0
+
+    def encrypted():
+        nonlocal total
+        if ctx.key is not None and not ctx.existing_len:
+            yield ctx.salt
+        off = disk_end if ctx.existing_len else crypto.SALT_LEN
+        for piece in pieces:
+            total += len(piece)
+            if cipher is not None:
+                piece = cipher.crypt(piece, off)
+            off += len(piece)
+            yield piece
+
+    if ctx.multipart:
+        # one new part per transaction; -chunk caps each part's size,
+        # continuing the numbering mid-transaction
+        part_no = len(ctx.parts) + 1
+        f = open(ctx.part_namer(part_no), "wb")
+        written = 0
+        try:
+            for piece in encrypted():
+                while chunk and written + len(piece) > chunk:
+                    take = chunk - written
+                    f.write(piece[:take])
+                    piece = piece[take:]
+                    f.close()
+                    part_no += 1
+                    f = open(ctx.part_namer(part_no), "wb")
+                    written = 0
+                f.write(piece)
+                written += len(piece)
+        finally:
+            f.close()
+    elif not ctx.path.exists():
+        target = (ctx.path.with_name(ctx.path.name + ".tmp")
+                  if tmp else ctx.path)
+        with open(target, "wb") as f:
+            for piece in encrypted():
+                f.write(piece)
+        if tmp:
+            target.replace(ctx.path)
+    else:
+        with open(ctx.path, "r+b") as f:
+            if ctx.trimmed:
+                f.truncate(disk_end)
+            f.seek(0, 2)
+            for piece in encrypted():
+                f.write(piece)
+    if index_path:
+        from .index import INDEX_MAGIC
+        ipath = pathlib.Path(index_path)
+        if not ipath.exists():
+            ipath.write_bytes(INDEX_MAGIC)
+        with open(ipath, "ab") as f:
+            f.write(ix_done())
+    return total
+
 
 def commit_transaction(ctx: AppendCtx, out: bytes, ix: bytes,
                        chunk: int = 0, tmp: bool = False,
@@ -635,7 +800,11 @@ def add(archive: str, files: Sequence[str], method: str = "1",
             journal.done()
         return 0, 0, 0
 
-    planner = FragmentPlanner(old_dedup_table(jd), len(jd.ht), block_cap)
+    # keep_bytes=False: jobs carry (file, start, end) spans, not bytes —
+    # the compressing thread re-materializes from the page cache, so the
+    # planner never holds fragment data (bounded-RAM add, VERDICT r3 #4)
+    planner = FragmentPlanner(old_dedup_table(jd), len(jd.ht), block_cap,
+                              keep_bytes=False)
     jobs: List[_Job] = []
 
     # per-file CDC + hashing runs in a thread pool (the native calls
@@ -646,15 +815,23 @@ def add(archive: str, files: Sequence[str], method: str = "1",
 
     def _digest_file(name: str):
         # mmap: the digest kernel reads pages straight from the page cache
-        # (no separate Python read pass over the file)
+        # (no separate Python read pass over the file). The mapping is
+        # closed before returning — executor.map runs ahead of the
+        # consumer, and queued results must not pin whole-file mappings
+        # (that unbounded VmSize growth failed the 1 GB bounded-RAM test)
         import mmap as _mmap
         with open(name, "rb") as f:
             try:
                 data = _mmap.mmap(f.fileno(), 0, access=_mmap.ACCESS_READ)
             except ValueError:          # empty file
                 data = b""
-        frags, crc, xxh = native.digest_file(data, fragment_bits)
-        return data, (crc, xxh), frags
+        try:
+            frags, crc, xxh = native.digest_file(data, fragment_bits)
+            nbytes = len(data)
+        finally:
+            if data:
+                data.close()
+        return nbytes, (crc, xxh), frags
 
     def _compress_job(job: "_Job") -> bytes:
         if journal is not None:
@@ -672,25 +849,36 @@ def add(archive: str, files: Sequence[str], method: str = "1",
     # from its per-block worker threads, SURVEY.md section 2.8)
     cx_threads = threads or max(2, min(8, (os.cpu_count() or 4)))
     cx = _fut.ThreadPoolExecutor(max_workers=cx_threads)
-    d_futs: List["_fut.Future"] = []
+    import collections
+    d_futs: "collections.deque[_fut.Future]" = collections.deque()
     from ..device_policy import deadline_for, resolve, run_with_deadline
     est_bytes = sum(ext[n][1] for n in changed)
     use_device = resolve(use_device, "codec", est_bytes)
     pipeline_host = not (use_device and model is not None and model.n > 0)
+    spill = DBlockSpill(pathlib.Path(str(ctx.path) + ".spill"))
     try:
+        def drain(block: bool) -> None:
+            # consume completed d blocks IN JOB ORDER into the spill file;
+            # the submit window (2x threads) bounds out-of-order results,
+            # so finished-but-unconsumed blocks never pile up in RAM
+            while d_futs and (d_futs[0].done()
+                              or block or len(d_futs) >= 2 * cx_threads):
+                spill.append(d_futs.popleft().result())
+
         total_bytes = est_bytes
         done_bytes = 0
         with _fut.ThreadPoolExecutor(max_workers=hash_threads) as hx:
-            for name, (data, sums, frags) in zip(
+            for name, (nbytes_f, sums, frags) in zip(
                     changed, hx.map(_digest_file, changed)):
                 file_sums[name] = sums
-                done_bytes += len(data)
+                done_bytes += nbytes_f
                 if progress is not None:
                     progress(done_bytes, total_bytes)
-                for job in planner.add_file(name, frags, data):
+                for job in planner.add_file(name, frags, None):
                     jobs.append(job)
                     if pipeline_host:
                         d_futs.append(cx.submit(_compress_job, job))
+                        drain(block=False)
         tail = planner.finish()
         if tail is not None:
             jobs.append(tail)
@@ -714,19 +902,24 @@ def add(archive: str, files: Sequence[str], method: str = "1",
                       f"({type(e).__name__}); falling back to host",
                       file=sys.stderr)
                 d_blocks = [_compress_job(j) for j in jobs]
+            for blk in d_blocks:
+                spill.append(blk)
+            del d_blocks
         else:
-            d_blocks = [f.result() for f in d_futs]
+            drain(block=True)
+
+        pieces = stream_transaction(
+            date, jobs, spill, changed, deleted, ext, file_sums,
+            planner.file_ptrs, planner.first_frag, franz=franz)
+        nbytes = commit_transaction_stream(
+            ctx, pieces, lambda: spill.index_bytes, chunk=chunk, tmp=tmp,
+            index_path=index_path)
     finally:
         cx.shutdown(wait=False)
-
-    out, ix = build_transaction(
-        date, jobs, d_blocks, changed, deleted, ext, file_sums,
-        planner.file_ptrs, planner.first_frag, franz=franz)
-    commit_transaction(ctx, out, ix, chunk=chunk, tmp=tmp,
-                       index_path=index_path)
+        spill.close()
     if journal is not None:
         journal.done()
-    return len(changed), len(planner.new_ht), len(out)
+    return len(changed), len(planner.new_ht), nbytes
 
 
 def _under_any(name: str, roots: Sequence[str]) -> bool:

@@ -299,13 +299,15 @@ def encode_jidac_blocks(model: Model, pre, jobs, date: int,
     tree produce the same archive bytes: store-chosen jobs become raw
     store blocks (host native — no modeling work exists for them), the
     rest are arithmetic-coded as device lanes."""
+    from ..jidac.add import job_bytes
     blob = model.pcomp_bytes()
     prefix = (b"\x01" + blob) if blob else b"\x00"
     out: List[Optional[bytes]] = [None] * len(jobs)
     lane_idx: List[int] = []
     payloads: List[bytes] = []
+    raw_lens: List[int] = []
     for i, job in enumerate(jobs):
-        raw = bytes(job.data)
+        raw = job_bytes(job)
         payload, store = prepare_payload(pre, raw)
         name = jdc_name(date, "d", job.first_frag)
         comment = b"%d jDC\x01" % len(raw)
@@ -317,10 +319,11 @@ def encode_jidac_blocks(model: Model, pre, jobs, date: int,
                 verify_payload(model, pre, raw, payload, job.first_frag)
             lane_idx.append(i)
             payloads.append(prefix + payload)
+            raw_lens.append(len(raw))
     if payloads:
         coded = device_coder().encode_streams(model, payloads)
-        for i, c in zip(lane_idx, coded):
+        for i, c, rl in zip(lane_idx, coded, raw_lens):
             name = jdc_name(date, "d", jobs[i].first_frag)
-            comment = b"%d jDC\x01" % len(jobs[i].data)
+            comment = b"%d jDC\x01" % rl
             out[i] = assemble_block(model, c, name, comment)
     return out  # type: ignore[return-value]
