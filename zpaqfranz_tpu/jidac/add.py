@@ -637,6 +637,54 @@ def commit_transaction(ctx: AppendCtx, out: bytes, ix: bytes,
             f.write(ix)
 
 
+def add_streaming(ctx: AppendCtx, model, pre, changed: Sequence[str],
+                  ext: Dict[str, Tuple[int, int, int]], block_cap: int,
+                  tmp: bool = False, progress=None) -> Tuple[int, int, int]:
+    """Streaming-format (`s` method) archive writes: one ZPAQ block per
+    ≤block_cap chunk of each file, the file name in its first segment, no
+    jidac c/d/h/i framing or dedup (reference read side zsfx.cpp:1550-1587;
+    the zpaq 7.15 streaming format the journaling format is backward-
+    compatible with). Deletions are not representable in this format.
+
+    Segment comment is ``"<size> <YYYYMMDDHHMMSS>"`` (decimal uncompressed
+    size + file date), the zpaq streaming convention our reader parses
+    back. Each block carries the SHA-1 of its decoded bytes."""
+    import hashlib
+
+    from ..parallel.engine import prepare_payload
+    counts = [0, 0]     # blocks, logical bytes
+
+    def pieces():
+        for name in changed:
+            fdate = ext[name][0]
+            first = True
+            with open(name, "rb") as f:
+                while True:
+                    chunk = f.read(block_cap)
+                    if not chunk and not first:
+                        break
+                    payload, store = (prepare_payload(pre, chunk)
+                                      if model is not None and chunk
+                                      else (chunk, True))
+                    m = _STORE_MODEL if store or model is None else model
+                    blk = native.compress_block(
+                        m, chunk if store else payload,
+                        name.encode() if first else b"",
+                        b"%d %014d" % (len(chunk), fdate),
+                        sha1=hashlib.sha1(chunk).digest())
+                    counts[0] += 1
+                    counts[1] += len(chunk)
+                    if progress is not None:
+                        progress(counts[1], sum(ext[n][1] for n in changed))
+                    yield blk
+                    first = False
+                    if len(chunk) < block_cap:
+                        break
+
+    nbytes = commit_transaction_stream(ctx, pieces(), lambda: b"", tmp=tmp)
+    return len(changed), counts[0], nbytes
+
+
 def pick_date(jd: Jidac, date: Optional[int]) -> int:
     date = date or now_date()
     if jd.ver[-1].date >= date:
@@ -799,6 +847,11 @@ def add(archive: str, files: Sequence[str], method: str = "1",
         if journal is not None:
             journal.done()
         return 0, 0, 0
+
+    if method.lstrip().startswith("s"):
+        # true streaming-format blocks (`a -m s...`): no dedup/journaling
+        return add_streaming(ctx, model, pre, changed, ext, block_cap,
+                             tmp=tmp, progress=progress)
 
     # keep_bytes=False: jobs carry (file, start, end) spans, not bytes —
     # the compressing thread re-materializes from the page cache, so the

@@ -184,6 +184,11 @@ def _read_archive_stream(stream, until: Optional[int],
                          index_mode: bool) -> Jidac:
     jd = Jidac()
     jd.is_index = index_mode
+    # streaming-format bookkeeping is ARCHIVE-scoped: an unnamed segment
+    # (any block) continues the last named file (reference lastfile +
+    # `first`, zsfx.cpp:1378-1380, 1568-1576)
+    streaming_first = True
+    last_stream_file = ""
     block_offset = stream.tell()
     data_offset = 0
     done = False
@@ -205,7 +210,6 @@ def _read_archive_stream(stream, until: Optional[int],
                 continue
             if segs is None:
                 break
-            streaming_first = True
             try:
                 for seg in segs:
                     meta = _parse_jdc_name(seg.filename)
@@ -292,21 +296,36 @@ def _read_archive_stream(stream, until: Optional[int],
                         else:  # 'd' reached directly: tolerated, ignored
                             pass
                     else:
-                        # streaming (non-jidac) block: one HT entry per segment
+                        # streaming (non-jidac) block: one HT entry per
+                        # segment; a continuation segment (empty filename)
+                        # belongs to the LAST named file (reference
+                        # lastfile, zsfx.cpp:1378-1380 + 1568)
                         if len(jd.ver) == 1:
                             jd.ver.append(VER(offset=block_offset, csize=-1,
                                               firstFragment=len(jd.ht)))
-                        fn = seg.filename.decode("utf-8", "replace") or "(last)"
-                        fn = fn.replace("\\", "/")
+                        if seg.filename:
+                            last_stream_file = (
+                                seg.filename.decode("utf-8", "replace")
+                                .replace("\\", "/"))
+                        fn = last_stream_file or "(untitled)"
                         dtr = jd.dt.setdefault(fn, DT())
                         if seg.filename or streaming_first:
-                            dtr.date = jd.ver[-1].date or 1
+                            # streaming comment convention:
+                            # "<size> <YYYYMMDDHHMMSS>[ attr]"
+                            sdate = 0
+                            toks = bytes(seg.comment or b"").split()
+                            if len(toks) >= 2 and toks[1].isdigit() \
+                                    and len(toks[1]) == 14:
+                                sdate = int(toks[1])
+                            dtr.date = sdate or jd.ver[-1].date or 1
                             dtr.ptr = []
                             jd.ver[-1].updates += 1
                         dtr.ptr.append(len(jd.ht))
-                        if not jd.block or streaming_first:
+                        if not jd.block or jd.block[-1].offset != block_offset:
                             jd.block.append(Block(start=len(jd.ht),
                                                   offset=block_offset))
+                        jd.block[-1].frags += 1
+                        jd.block[-1].usize += len(seg.data)
                         jd.ht.append(HT(seg.sha1 or b"\x00" * 20, len(seg.data)))
                         jd.ht[-1].usize = len(seg.data)
                     streaming_first = False
