@@ -347,3 +347,31 @@ def test_add_resume_journal(tmp_path, monkeypatch):
     assert calls == []                          # all blocks reused
     assert not journal.exists()                 # cleaned after commit
     assert (tmp_path / "r.zpaq").read_bytes() == ref
+
+
+def test_franz_text_form_round_trip(tmp_path):
+    """Classic TEXT FRANZBLOCK (FORMAT.md form 2): 8 base attr bytes +
+    40-hex alt hash + NUL + 8-hex CRC-32 + NUL (= FRANZOFFSET 50). The
+    reader must recover the same sums it does from the binary dialect."""
+    import os
+    from zpaqfranz_tpu import native
+    from zpaqfranz_tpu.jidac.add import add
+    from zpaqfranz_tpu.jidac.index import read_archive
+
+    os.chdir(tmp_path)
+    (tmp_path / "t").mkdir()
+    data = b"franz text form " * 1000
+    (tmp_path / "t" / "f.bin").write_bytes(data)
+    add("a.zpaq", ["t"], method="1", date=20260102030405, franz="text")
+    jd = read_archive((tmp_path / "a.zpaq").read_bytes())
+    d = jd.dt["t/f.bin"]
+    assert len(d.attr_raw) == 58            # 8 base + 50 franz
+    assert d.attr_raw[48] == 0 and d.attr_raw[57] == 0
+    assert d.crc32 == native.crc32(data)
+    assert d.xxh64 == native.xxh64(data)
+
+    # binary dialect on the same content agrees
+    add("b.zpaq", ["t"], method="1", date=20260102030405)
+    jd2 = read_archive((tmp_path / "b.zpaq").read_bytes())
+    d2 = jd2.dt["t/f.bin"]
+    assert (d2.crc32, d2.xxh64) == (d.crc32, d.xxh64)

@@ -142,7 +142,13 @@ def cmd_add(archive, files, sw) -> int:
                                  index_path=sw.get("index", [None])[0],
                                  chunk=chunk, notrim="notrim" in sw,
                                  tmp="tmp" in sw,
-                                 franz="715" if "715" in sw else "xxhash64",
+                                 # -715 pure zpaq; explicit -xxhash64 = the
+                                 # classic TEXT FRANZBLOCK (reference non-b
+                                 # switches, CHANGELOG.md:673-675); default
+                                 # = compact binary record (v60 "b" role)
+                                 franz=("715" if "715" in sw
+                                        else "text" if "xxhash64" in sw
+                                        else "xxhash64"),
                                  verify="verify" in sw,
                                  resume="resume" in sw,
                                  progress=(prog := _Progress(sw)))

@@ -437,6 +437,8 @@ def stream_transaction(date: int, jobs: Sequence[_Job], spill: DBlockSpill,
         fdate, fsize, fattr = ext[name]
         ibody += struct.pack("<q", fdate) + name.encode() + b"\x00"
         base = bytes([fattr & 255, (fattr >> 8) & 255, (fattr >> 16) & 255])
+        if franz == "text":
+            base = base.ljust(8, b"\x00")   # text FRANZBLOCK: 8+50 attrs
         attr_bytes = base + _franz_block(franz, file_sums.get(name))
         ibody += struct.pack("<I", len(attr_bytes)) + attr_bytes
         ptrs = file_ptrs[name]
@@ -487,6 +489,8 @@ def build_transaction(date: int, jobs: Sequence[_Job],
         fdate, fsize, fattr = ext[name]
         ibody += struct.pack("<q", fdate) + name.encode() + b"\x00"
         base = bytes([fattr & 255, (fattr >> 8) & 255, (fattr >> 16) & 255])
+        if franz == "text":
+            base = base.ljust(8, b"\x00")   # text FRANZBLOCK: 8+50 attrs
         attr_bytes = base + _franz_block(franz, file_sums.get(name))
         ibody += struct.pack("<I", len(attr_bytes)) + attr_bytes
         ptrs = file_ptrs[name]
@@ -505,12 +509,24 @@ def _franz_block(franz: str, sums: Optional[Tuple[int, int]]) -> bytes:
     (the reference FRANZBLOCK, CHANGELOG.md:670-707; readers that use only
     the low 8 attr bytes skip it, zsfx.cpp:1525-1528 reads-and-ignores).
 
-    franz='715' writes nothing (pure-zpaq output, CHANGELOG.md:484);
-    otherwise a compact binary record b"fz" + crc32[4] + xxh64[8]
-    (the v60 "binary FRANZBLOCK" role: default, smaller than hex text)."""
+    Three forms (see FORMAT.md "FRANZBLOCK"):
+    - '715': nothing (pure-zpaq output, reference -715, CHANGELOG.md:484)
+    - 'xxhash64' (default): compact binary b"fz" + crc32[4 LE] + xxh64[8 LE]
+      — this framework's dialect filling the v60 "binary FRANZBLOCK" role
+      (the reference v60 byte layout lives only in the stripped
+      zpaqfranz.cpp, so it cannot be byte-matched from this snapshot)
+    - 'text': the classic v55-era TEXT layout, FRANZOFFSET = 50 bytes:
+      40 hex chars of the alt hash (XXHASH64 zero-padded) + NUL +
+      8 hex chars of CRC-32 + NUL (40+1+8+1 = 50 exactly — the geometry
+      the public FRANZOFFSET constant encodes). The caller pads base
+      attrs to 8 bytes first, giving the documented 8+50 attr size."""
     if franz == "715" or sums is None:
         return b""
     crc, xxh = sums
+    if franz == "text":
+        area = b"%040X\x00%08X\x00" % (xxh, crc)
+        assert len(area) == 50
+        return area
     return b"fz" + struct.pack("<I", crc) + struct.pack("<Q", xxh)
 
 

@@ -56,21 +56,35 @@ class DT:
     attr_raw: bytes = b""
     ptr: List[int] = field(default_factory=list)
 
-    @property
-    def crc32(self):
-        i = self.attr_raw.find(b"fz")
-        if i >= 0 and len(self.attr_raw) >= i + 14:
-            import struct
-            return struct.unpack("<I", self.attr_raw[i + 2:i + 6])[0]
+    def _franz(self):
+        """Parse either FRANZBLOCK form -> (crc32, alt_hash) or None.
+
+        Binary dialect: b"fz" + crc32[4 LE] + xxh64[8 LE] after the base
+        attrs. Text form (classic FRANZOFFSET=50 layout): attrs are
+        8 base bytes + 40 hex chars of the alt hash + NUL + 8 hex chars
+        of CRC-32 + NUL."""
+        import struct
+        a = self.attr_raw
+        i = a.find(b"fz")
+        if i >= 0 and len(a) >= i + 14:
+            return (struct.unpack("<I", a[i + 2:i + 6])[0],
+                    struct.unpack("<Q", a[i + 6:i + 14])[0])
+        if len(a) >= 58 and a[48:49] == b"\x00" and a[57:58] == b"\x00":
+            try:
+                return int(a[49:57], 16), int(a[8:48], 16) & ((1 << 64) - 1)
+            except ValueError:
+                return None
         return None
 
     @property
+    def crc32(self):
+        f = self._franz()
+        return f[0] if f else None
+
+    @property
     def xxh64(self):
-        i = self.attr_raw.find(b"fz")
-        if i >= 0 and len(self.attr_raw) >= i + 14:
-            import struct
-            return struct.unpack("<Q", self.attr_raw[i + 6:i + 14])[0]
-        return None
+        f = self._franz()
+        return f[1] if f else None
 
 
 @dataclass
