@@ -153,49 +153,69 @@ def _bench_device(detail: dict) -> None:
         except Exception as e:
             detail["device"] = {"error": f"{type(e).__name__}: {e}"}
         return
+    child_t0 = time.time()
     try:
         import jax
         from zpaqfranz_tpu.ops.hash_pallas import _enable_compile_cache
         _enable_compile_cache()     # repeat runs on one machine skip the
         backend = jax.default_backend()   # multi-minute tunnel compile
-        detail["device"] = {"backend": backend}
+        detail["device"] = {"backend": backend,
+                            "engine": os.environ.get(
+                                "ZPAQFRANZ_DEVICE_ENGINE", "arena")}
         if backend not in ("tpu",):
             detail["device"]["skipped"] = f"no TPU ({backend})"
             return
-        # --- batched CM coder lanes: the -m4 flagship model -------------
         from zpaqfranz_tpu.codec.methods import make_model
         from zpaqfranz_tpu.parallel.engine import device_coder
-        model, _ = make_model("4")
-        L, BS = 32, 4096
-        data = _level_corpus(L * BS)
-        payloads = [b"\x00" + data[i * BS:(i + 1) * BS][: BS - 1]
-                    for i in range(L)]
         coder = device_coder()
-        t0 = time.time()
-        coded = coder.encode_streams(model, payloads)   # compile + run
-        compile_s = time.time() - t0
-        t0 = time.time()
-        coded = coder.encode_streams(model, payloads)
-        warm_s = time.time() - t0
-        tot = sum(len(p) for p in payloads)
-        detail["device"]["cm_m4_lanes"] = {
-            "lanes": L, "block_bytes": BS,
-            "compile_s": round(compile_s, 1),
-            "encode_MBps": round(tot / warm_s / 1e6, 4),
-            "us_per_byte_step": round(warm_s / BS * 1e6, 1),
-            "us_per_byte_per_lane": round(warm_s / tot * 1e6, 2),
-        }
-        coder.decode_streams(model, coded, BS)          # compile
-        t0 = time.time()
-        back = coder.decode_streams(model, coded, BS)
-        dec_s = time.time() - t0
-        assert back == payloads, "device decode round-trip failed"
-        detail["device"]["cm_m4_lanes"]["decode_MBps"] = round(
-            tot / dec_s / 1e6, 4)
+
+        def run_lanes(method, L, BS, max_steps=None):
+            model, _ = make_model(method)
+            data = _level_corpus(L * BS)
+            payloads = [b"\x00" + data[i * BS:(i + 1) * BS][: BS - 1]
+                        for i in range(L)]
+            t0 = time.time()
+            coded = coder.encode_streams(model, payloads)   # compile + run
+            compile_s = time.time() - t0
+            t0 = time.time()
+            coded = coder.encode_streams(model, payloads)
+            enc_s = time.time() - t0
+            tot = sum(len(p) for p in payloads)
+            coder.decode_streams(model, coded, BS)          # compile
+            t0 = time.time()
+            back = coder.decode_streams(model, coded, BS)
+            dec_s = time.time() - t0
+            assert back == payloads, "device decode round-trip failed"
+            enc_mb = tot / enc_s / 1e6
+            dec_mb = tot / dec_s / 1e6
+            return {
+                "method": method, "lanes": L, "block_bytes": BS,
+                "compile_s": round(compile_s, 1),
+                "encode_MBps": round(enc_mb, 3),
+                "decode_MBps": round(dec_mb, 3),
+                "aggregate_MBps": round(enc_mb + dec_mb, 3),
+                "us_per_byte_per_lane_dec": round(dec_s / tot * 1e6, 3),
+            }
+
+        # --- the -m4 component chain at the device-profile block size
+        # (method "4.0" = level 4 with 1 MiB blocks, a standard zpaq
+        # method choice; the arena engine scales by lane count, so the
+        # product device path prefers many smaller blocks)
+        detail["device"]["cm_m4_lanes"] = run_lanes("4.0", 256, 16384)
         # calibrate the auto-device gate from the measured rates
         from zpaqfranz_tpu import device_policy
-        device_policy.record(
-            codec_device_MBps=min(tot / warm_s / 1e6, tot / dec_s / 1e6))
+        r = detail["device"]["cm_m4_lanes"]
+        device_policy.record(codec_device_MBps=min(r["encode_MBps"],
+                                                   r["decode_MBps"]))
+        # --- the default 16 MiB-block -m4 model (128 MB tables/lane):
+        # fewer lanes fit, so this is the conservative product number
+        if time.time() - child_t0 < 300:
+            try:
+                detail["device"]["cm_m4_default_block"] = \
+                    run_lanes("4", 48, 8192)
+            except Exception as e:
+                detail["device"]["cm_m4_default_block"] = {
+                    "error": f"{type(e).__name__}: {e}"}
         # --- Pallas SHA-1 hash lanes (verify hot path) -------------------
         # on-chip rate with resident data: host<->device transfer on a
         # tunneled chip (~100 ms latency, ~10 MB/s readback) is deployment
@@ -254,10 +274,45 @@ def _bench_golden_parity(detail: dict) -> None:
             "size_vs_reference": round(ours / ref_size, 4),
             "encode_s": round(enc_s, 1),
         }
+        _ratio_gate(detail, td, ours)
     except Exception as e:
         detail["golden_m5"] = {"error": f"{type(e).__name__}: {e}"}
     finally:
         shutil.rmtree(td, ignore_errors=True)
+
+
+# Standing per-level REAL-corpus ratio gate (VERDICT r3 #10): archive bytes
+# for the golden fixture's 256 files (9.47 MB of reference-shuffled text —
+# the largest real corpus available offline; BASELINE.md's Silesia/enwik8
+# cannot be fetched under zero egress) must not regress vs the recorded
+# values below by more than 1%.  Update deliberately when a ratio-improving
+# change lands; a silent increase is a compression regression.
+_RATIO_EXPECT = {"1": 3424027, "2": 3106682, "3": 1868195, "4": 314569,
+                 "5": 154970}
+
+
+def _ratio_gate(detail: dict, td: pathlib.Path, m5_bytes: int) -> None:
+    from zpaqfranz_tpu.jidac.add import add
+    sizes = {"5": m5_bytes}
+    cwd = os.getcwd()
+    os.chdir(td)
+    try:
+        for level in ("1", "2", "3", "4"):
+            arc = td / f"ours_l{level}.zpaq"
+            add(str(arc), ["files"], method=level)
+            sizes[level] = arc.stat().st_size
+    finally:
+        os.chdir(cwd)
+    regressions = {
+        lvl: {"bytes": sizes[lvl], "expected": exp,
+              "delta_pct": round((sizes[lvl] / exp - 1) * 100, 2)}
+        for lvl, exp in _RATIO_EXPECT.items()
+        if lvl in sizes and sizes[lvl] > exp * 1.01}
+    detail["golden_levels"] = {
+        "bytes": sizes, "expected": _RATIO_EXPECT,
+        "ratio_ok": not regressions,
+        **({"regressions": regressions} if regressions else {}),
+    }
 
 
 def main() -> None:

@@ -1,0 +1,977 @@
+"""Arena codec: the ZPAQ per-bit loop as a handful of wide TPU memory ops.
+
+Round-3 measurement showed XLA:TPU executes a gather or scatter on a
+(L, S) table in ~300 ns *per op*, flat in lane count L, table size S, and
+slot count k (experiments/mb_access.py / mb_arena.py, v5e).  The per-byte
+cost of the codec is therefore pure op COUNT — so this engine packs every
+component table into two per-lane arenas (one u8: ICM/ISSE hash-table rows
+and the MATCH history window; one u32: CM counters, ICM counters, ISSE/MIX
+weights, MIX2/SSE tables) with static segment offsets, and restructures each
+bit of the predict -> arithmetic-code -> update loop into
+
+    1 u32 arena gather  (all component table reads, k slots, one op)
+    1-2 LUT gathers     (all stretch/squash/state-table lookups, batched)
+    fused elementwise   (the whole mixing chain + the range coder)
+    1 u32 arena scatter (all table trains, disjoint slots by construction)
+
+plus per-nibble ops: the ICM/ISSE hash-probe gathers one 64-byte aligned
+block per component (it provably contains all three probe candidates,
+h0/h0^16/h0^32 — they differ only in bits 4-5), stages the winning 16-byte
+row in registers for the nibble (every in-nibble read AND write of the row
+is at offset hmap4&15 < 16), and writes the row back once per nibble.
+HCOMP context computation uses the trace-time bytecode specializer
+(ops/hcomp_fast.py: zero memory ops per byte) with the SIMT VM as fallback.
+
+~25-55 memory ops per decoded byte across ALL lanes, vs ~25 per bit per
+*small group* of ops in the round-3 engine — at 512-1024 lanes this is the
+difference between 0.25 MB/s and tens of MB/s aggregate.
+
+Bit-exactness contract: identical output to ops/coder_batched (tested per
+level in tests/test_codec_arena.py), which is itself validated against the
+scalar oracle and the reference golden archive.  Behavioral reference for
+the integer semantics: /root/reference/ZSFX/libzpaq.cpp:1846-2173
+(predict0/update0/find/Decoder) — reimplemented, not translated.
+
+Frozen-lane policy: lanes past EOS keep computing garbage — every scatter
+they issue lands in their OWN lane's arena row, so no masking or state
+merging is needed anywhere in the hot loop (outputs are truncated by the
+recorded per-lane lengths).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import tables as T
+from ..zpaql.header import Model
+from .hcomp_fast import FastHcomp, try_compile
+from .vm_batched import BatchedVM, init_vm_state
+
+U32, U8, I32 = jnp.uint32, jnp.uint8, jnp.int32
+
+# ---- combined LUT: squash(4096) | stretch(32768) | sns(1024) --------------
+_SQ_OFF = 0
+_STR_OFF = 4096
+_SNS_OFF = 4096 + 32768
+_NP_BIGLUT = np.concatenate([
+    T.SQUASHT.astype(np.int32),
+    T.STRETCHT.astype(np.int32),
+    T.SNS.astype(np.int32),
+]).astype(np.int32)
+
+
+def _clamp2k(x):
+    return jnp.clip(x, -2048, 2047)
+
+
+def _clamp512k(x):
+    return jnp.clip(x, -(1 << 19), (1 << 19) - 1)
+
+
+def _i32(x):
+    """Bit-preserving u32 -> i32 (weights are stored bit-cast in the arena)."""
+    return jax.lax.bitcast_convert_type(x, I32)
+
+
+def _u32(x):
+    return jax.lax.bitcast_convert_type(x, U32)
+
+
+class _Batch:
+    """Collects gather/scatter slots so each bit issues ONE memory op."""
+
+    def __init__(self):
+        self.cols: List[jax.Array] = []
+
+    def add(self, col: jax.Array) -> int:
+        self.cols.append(col.astype(I32))
+        return len(self.cols) - 1
+
+    def gather(self, arena: jax.Array) -> List[jax.Array]:
+        if not self.cols:
+            return []
+        idx = jnp.stack(self.cols, axis=1)
+        v = jnp.take_along_axis(arena, idx, axis=1,
+                                mode="promise_in_bounds")
+        return [v[:, j] for j in range(len(self.cols))]
+
+
+def _scatter(arena: jax.Array, cols: List[jax.Array],
+             vals: List[jax.Array], mode: str = "promise_in_bounds"
+             ) -> jax.Array:
+    if not cols:
+        return arena
+    L = arena.shape[0]
+    lanes = jnp.arange(L)
+    idx = jnp.stack([c.astype(I32) for c in cols], axis=1)
+    v = jnp.stack([x.astype(arena.dtype) for x in vals], axis=1)
+    return arena.at[lanes[:, None], idx].set(
+        v, mode=mode, unique_indices=True)
+
+
+def _lut(cols: List[jax.Array]) -> List[jax.Array]:
+    if not cols:
+        return []
+    bl = jnp.asarray(_NP_BIGLUT)
+    idx = jnp.stack([c.astype(I32) for c in cols], axis=1)
+    v = bl.at[idx].get(mode="promise_in_bounds")
+    return [v[:, j] for j in range(len(cols))]
+
+
+def _row_read(row: jax.Array, off: jax.Array) -> jax.Array:
+    """row (L, 16) u8, off (L,) in 0..15 -> (L,) u32 (elementwise one-hot)."""
+    cols = jax.lax.broadcasted_iota(I32, row.shape, 1)
+    m = cols == off.astype(I32)[:, None]
+    return jnp.sum(jnp.where(m, row, 0).astype(U32), axis=1)
+
+
+def _row_write(row: jax.Array, off: jax.Array, val: jax.Array) -> jax.Array:
+    cols = jax.lax.broadcasted_iota(I32, row.shape, 1)
+    m = cols == off.astype(I32)[:, None]
+    return jnp.where(m, val.astype(U8)[:, None], row)
+
+
+def _dt(count: jax.Array) -> jax.Array:
+    """dt[i] = (2^17)/(2i+3)*2 computed elementwise (tables.py formula)."""
+    c = count.astype(U32)
+    return ((np.uint32(1 << 17) // (c * 2 + 3)) * 2).astype(I32)
+
+
+def _dt2k(a: jax.Array) -> jax.Array:
+    """dt2k[0]=0, dt2k[i]=2048/i, elementwise."""
+    a = a.astype(U32)
+    safe = jnp.maximum(a, 1)
+    return jnp.where(a == 0, 0, (np.uint32(2048) // safe).astype(I32))
+
+
+# ---------------------------------------------------------------------------
+class _Layout:
+    """Static arena segment offsets for one model."""
+
+    def __init__(self, model: Model):
+        self.comps = [tuple(c) for c in model.comps]
+        s8 = 0
+        s32 = 0
+        self.off8: Dict[int, int] = {}
+        self.off32: Dict[int, int] = {}
+        for i, cp in enumerate(self.comps):
+            t = cp[0]
+            if t == T.ICM:
+                self.off8[i] = s8
+                s8 += 64 << cp[1]
+                self.off32[i] = s32
+                s32 += 256
+            elif t == T.ISSE:
+                self.off8[i] = s8
+                s8 += 64 << cp[1]
+                self.off32[i] = s32
+                s32 += 512
+            elif t == T.MATCH:
+                self.off8[i] = s8
+                s8 += 1 << cp[2]
+                self.off32[i] = s32
+                s32 += 1 << cp[1]
+            elif t == T.CM:
+                self.off32[i] = s32
+                s32 += 1 << cp[1]
+            elif t == T.MIX:
+                self.off32[i] = s32
+                s32 += (1 << cp[1]) * cp[3]
+            elif t == T.MIX2:
+                self.off32[i] = s32
+                s32 += 1 << cp[1]
+            elif t == T.SSE:
+                self.off32[i] = s32
+                s32 += 32 << cp[1]
+        self.s8 = max(s8, 1)
+        self.s32 = max(s32, 1)
+
+    def init_rows(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Single-lane initial arena contents (broadcast at init_state)."""
+        a8 = np.zeros(self.s8, np.uint8)
+        a32 = np.zeros(self.s32, np.uint32)
+        isse_wt = np.zeros(512, np.uint32)
+        isse_wt[0::2] = 1 << 15
+        w1 = np.clip(
+            T.STRETCHT[(T.CMINIT >> 8).astype(np.int64)].astype(np.int64)
+            * 1024, -(1 << 19), (1 << 19) - 1).astype(np.int32)
+        isse_wt[1::2] = w1.view(np.uint32)
+        for i, cp in enumerate(self.comps):
+            t = cp[0]
+            if t == T.CM:
+                a32[self.off32[i]: self.off32[i] + (1 << cp[1])] = 0x80000000
+            elif t == T.ICM:
+                a32[self.off32[i]: self.off32[i] + 256] = \
+                    T.CMINIT.astype(np.uint32)
+            elif t == T.ISSE:
+                a32[self.off32[i]: self.off32[i] + 512] = isse_wt
+            elif t == T.MATCH:
+                a8[self.off8[i]] = 1
+            elif t == T.MIX:
+                m = cp[3]
+                n = (1 << cp[1]) * m
+                a32[self.off32[i]: self.off32[i] + n] = \
+                    np.int32(65536 // m).view(np.uint32)
+            elif t == T.MIX2:
+                a32[self.off32[i]: self.off32[i] + (1 << cp[1])] = 32768
+            elif t == T.SSE:
+                base = np.array(
+                    [(np.uint32(T.SQUASHT[j * 64 - 992 + 2048]) << 17)
+                     | np.uint32(cp[3]) for j in range(32)], np.uint32)
+                n = 32 << cp[1]
+                a32[self.off32[i]: self.off32[i] + n] = np.tile(base, n // 32)
+        return a8, a32
+
+
+# ---------------------------------------------------------------------------
+class DecState(NamedTuple):
+    low: jax.Array
+    high: jax.Array
+    curr: jax.Array
+    pos: jax.Array    # i32 cursor
+
+
+class _Win:
+    """Per-byte-step prefetched input window: one gather, elementwise reads
+    that replicate _read_byte's read-0-past-end semantics."""
+
+    W = 40
+
+    def __init__(self, data: jax.Array, pos0: jax.Array):
+        N = data.shape[1]
+        cols = pos0[:, None] + jnp.arange(self.W, dtype=I32)[None, :]
+        idx = jnp.clip(cols, 0, N - 1)
+        self.buf = jnp.take_along_axis(data, idx, axis=1,
+                                       mode="promise_in_bounds")
+        self.pos0 = pos0
+        self.n = N
+
+    def read(self, pos: jax.Array) -> jax.Array:
+        loc = pos - self.pos0
+        cols = jax.lax.broadcasted_iota(I32, self.buf.shape, 1)
+        m = cols == loc[:, None]
+        v = jnp.sum(jnp.where(m, self.buf, 0).astype(U32), axis=1)
+        return jnp.where(pos < self.n, v, 0)
+
+
+def _range_split(low, high, p):
+    hl = high - low
+    return low + (hl >> 16) * p + (((hl & np.uint32(0xFFFF)) * p) >> 16)
+
+
+# ---------------------------------------------------------------------------
+class ArenaCoder:
+    """Shared model machinery for ArenaDecoder/ArenaEncoder."""
+
+    def __init__(self, model: Model, max_hcomp_steps: Optional[int] = None,
+                 unroll: bool = False):
+        if model.n == 0:
+            raise ValueError("store-mode blocks run on the host path")
+        self.unroll = unroll
+        self.model = model
+        self.n = model.n
+        self.lay = _Layout(model)
+        self.comps = self.lay.comps
+        self.fh: Optional[FastHcomp] = try_compile(model)
+        if self.fh is None:
+            self.vm = BatchedVM(model.hcomp, model.hh, model.hm,
+                                max_steps=max_hcomp_steps)
+        self.hmask = (1 << model.hh) - 1
+        self.hash_comps = [i for i, cp in enumerate(self.comps)
+                           if cp[0] in (T.ICM, T.ISSE)]
+        self.match_comps = [i for i, cp in enumerate(self.comps)
+                            if cp[0] == T.MATCH]
+
+    # -- state -------------------------------------------------------------
+    def init_state(self, L: int) -> Dict:
+        a8_row, a32_row = self.lay.init_rows()
+        st: Dict = {
+            "a8": jnp.broadcast_to(jnp.asarray(a8_row), (L, self.lay.s8)) + 0,
+            "a32": jnp.broadcast_to(jnp.asarray(a32_row),
+                                    (L, self.lay.s32)) + 0,
+            "c8": jnp.ones(L, U32),
+            "hmap4": jnp.ones(L, U32),
+            "h": jnp.zeros((L, self.n), U32),
+        }
+        for i in self.hash_comps:
+            st[f"hb{i}"] = jnp.full(L, np.uint32(self.lay.off8[i]), U32)
+        for i in self.match_comps:
+            st[f"ma{i}"] = jnp.zeros(L, U32)   # match length a
+            st[f"mb{i}"] = jnp.zeros(L, U32)   # offset b
+            st[f"ml{i}"] = jnp.zeros(L, U32)   # pos (lim)
+            st[f"mc{i}"] = jnp.zeros(L, U32)   # predicted bit c
+        if self.fh is not None:
+            st["hc"] = self.fh.init_state(L)
+        else:
+            st["vm"] = init_vm_state(L, self.model.hh, self.model.hm)
+        return st
+
+    def _run_hcomp(self, st: Dict, byte: jax.Array) -> None:
+        if self.fh is not None:
+            st["hc"] = self.fh.run(st["hc"], byte)
+            st["h"] = st["hc"]["hn"]
+        else:
+            st["vm"] = self.vm.run(st["vm"], byte)
+            cols = np.array([i & self.hmask for i in range(self.n)])
+            st["h"] = st["vm"].h[:, cols]
+
+    # -- hash-table probe (reference find(), libzpaq.cpp:2060-2080) --------
+    def _probe_all(self, a8: jax.Array, h: jax.Array, c8: jax.Array
+                   ) -> Tuple[Dict[int, jax.Array], Dict[int, jax.Array]]:
+        """Probe every ICM/ISSE component: ONE u8 gather of the 64-byte
+        aligned block per component (it contains all three candidates
+        h0/h0^16/h0^32), elementwise candidate select, cleared-row staging.
+        Pure: returns ({comp: staged row (L,16)}, {comp: abs row base})."""
+        gb = _Batch()
+        plans = []
+        for i in self.hash_comps:
+            cp = self.comps[i]
+            seg = 64 << cp[1]
+            off = self.lay.off8[i]
+            cxt = h[:, i] + 16 * c8
+            chk = ((cxt >> np.uint32(cp[1] + 2)) & 255).astype(U32)
+            h0 = ((cxt * 16) & np.uint32(seg - 16)).astype(I32)
+            base = h0 & ~np.int32(63)
+            slots = [gb.add(base + np.int32(off + j)) for j in range(64)]
+            plans.append((i, chk, h0, base, slots))
+        vals = gb.gather(a8)
+        rows: Dict[int, jax.Array] = {}
+        hb: Dict[int, jax.Array] = {}
+        for (i, chk, h0, base, slots) in plans:
+            blk = jnp.stack([vals[s] for s in slots], axis=1)  # (L, 64)
+            r0 = ((h0 >> 4) & 3).astype(I32)
+
+            def sel4(vs, ridx):
+                out = vs[0] * 0
+                for r in range(4):
+                    out = jnp.where(ridx == r, vs[r], out)
+                return out
+            chks = [blk[:, 16 * r] for r in range(4)]
+            prio = [blk[:, 16 * r + 1] for r in range(4)]
+            c0r, c1r, c2r = r0, r0 ^ 1, r0 ^ 2
+            ck0, ck1, ck2 = sel4(chks, c0r), sel4(chks, c1r), sel4(chks, c2r)
+            p0, p1, p2 = sel4(prio, c0r), sel4(prio, c1r), sel4(prio, c2r)
+            m0, m1, m2 = ck0 == chk, ck1 == chk, ck2 == chk
+            hit = jnp.where(m0, c0r, jnp.where(m1, c1r, c2r))
+            rep = jnp.where((p0 <= p1) & (p0 <= p2), c0r,
+                            jnp.where(p1 < p2, c1r, c2r))
+            any_m = m0 | m1 | m2
+            rsel = jnp.where(any_m, hit, rep)
+            row = jnp.stack(
+                [sel4([blk[:, 16 * r + j] for r in range(4)], rsel)
+                 for j in range(16)], axis=1)
+            fresh = jnp.concatenate(
+                [chk.astype(U8)[:, None],
+                 jnp.zeros((row.shape[0], 15), U8)], axis=1)
+            rows[i] = jnp.where(any_m[:, None], row, fresh)
+            hb[i] = (np.uint32(self.lay.off8[i]) + base.astype(U32)
+                     + 16 * rsel.astype(U32))
+        return rows, hb
+
+    # -- one byte ----------------------------------------------------------
+    #
+    # The 8 bit-phases run as ONE lax.fori_loop body with lax.cond-gated
+    # probe (phases 0/4) and staged-row writeback (phases 3/7) sub-steps.
+    # The fully unrolled form was ~38k HLO ops for -m4 and took ~160 s of
+    # XLA compile; the loop body compiles once.  ``unroll=True`` (used by
+    # the per-bit oracle-parity tests and their debug hooks) runs the same
+    # body python-unrolled with static phase numbers instead.
+
+    def byte_step(self, st: Dict, coder_step, cst
+                  ) -> Tuple[Dict, jax.Array, object]:
+        """Run the 8 bit-phases + byte-end bookkeeping.
+
+        ``coder_step(cst, phase, p_final) -> (y (L,) u32, cst)`` couples
+        the range coder (decode: split+renorm; encode: emit).
+        Returns (state, byte (L,) u32, cst)."""
+        st = dict(st)
+        lay = self.lay
+        comps = self.comps
+        L = st["c8"].shape[0]
+        h = st["h"]
+        self.h_cur = h      # byte-constant; read by _bit at trace time
+
+        # byte-start: match window bytes (u8) + match cm[h] (u32), indices
+        # fixed for the whole byte (lim/b/h only change at byte end)
+        gb = _Batch()
+        mslots = {}
+        for i in self.match_comps:
+            cp = comps[i]
+            mask = np.uint32((1 << cp[2]) - 1)
+            off = np.uint32(lay.off8[i])
+            lim, b = st[f"ml{i}"], st[f"mb{i}"]
+            mslots[i] = (gb.add((off + ((lim - b) & mask)).astype(I32)),
+                         gb.add((off + (lim & mask)).astype(I32)))
+        g8 = gb.gather(st["a8"])
+        mbyte = {i: g8[s0].astype(U32) for i, (s0, s1) in mslots.items()}
+        mreg0 = {i: g8[s1].astype(U32) for i, (s0, s1) in mslots.items()}
+        g32b = _Batch()
+        mcm_slot = {}
+        for i in self.match_comps:
+            cp = comps[i]
+            cmmask = np.uint32((1 << cp[1]) - 1)
+            mcm_slot[i] = g32b.add(
+                (np.uint32(lay.off32[i]) + (h[:, i] & cmmask)).astype(I32))
+        gex = g32b.gather(st["a32"])
+        mcm = {i: gex[s] for i, s in mcm_slot.items()}
+        ml_ = {i: st[f"ml{i}"] for i in self.match_comps}
+
+        carry = {
+            "a8": st["a8"], "a32": st["a32"],
+            "c8": st["c8"], "hmap4": st["hmap4"],
+            "rows": {i: jnp.zeros((L, 16), U8) for i in self.hash_comps},
+            "hb": {i: st[f"hb{i}"] for i in self.hash_comps},
+            "ma": {i: st[f"ma{i}"] for i in self.match_comps},
+            "mc": {i: st[f"mc{i}"] for i in self.match_comps},
+            "mreg": mreg0,
+            "c": jnp.ones(L, U32),
+            "cst": cst,
+        }
+
+        def body(phase, carry):
+            static = isinstance(phase, int)
+            c8 = carry["c8"]
+
+            # ---- nibble-start probe (phases 0 and 4)
+            if static:
+                if phase in (0, 4):
+                    rows, hb = self._probe_all(carry["a8"], h, c8)
+                else:
+                    rows, hb = carry["rows"], carry["hb"]
+            else:
+                need = (phase == 0) | (phase == 4)
+                rows, hb = jax.lax.cond(
+                    need,
+                    lambda a8, c8v: self._probe_all(a8, h, c8v),
+                    lambda a8, c8v: (carry["rows"], carry["hb"]),
+                    carry["a8"], c8)
+
+            out = self._bit(carry, rows, hb, mbyte, mcm, phase,
+                            coder_step)
+            carry2, rows2, y = out
+
+            mreg2 = {i: (carry["mreg"][i] * 2 + y) & 255
+                     for i in self.match_comps}
+
+            # ---- nibble-end writeback (phases 3 and 7)
+            def write_back(a8):
+                cols, vals = [], []
+                for i in self.hash_comps:
+                    base = hb[i].astype(I32)
+                    for j in range(16):
+                        cols.append(base + j)
+                        vals.append(rows2[i][:, j])
+                for i in self.match_comps:
+                    cp = comps[i]
+                    mask = np.uint32((1 << cp[2]) - 1)
+                    off = np.uint32(lay.off8[i])
+                    col = (off + (ml_[i] & mask)).astype(I32)
+                    if static:
+                        if phase != 7:
+                            continue
+                    else:
+                        col = jnp.where(phase == 7, col,
+                                        np.int32(lay.s8))  # dropped
+                    cols.append(col)
+                    vals.append(mreg2[i].astype(U8))
+                return _scatter(a8, cols, vals, mode="drop")
+
+            if static:
+                a8 = write_back(carry2["a8"]) if phase in (3, 7) \
+                    else carry2["a8"]
+            else:
+                a8 = jax.lax.cond((phase == 3) | (phase == 7),
+                                  write_back, lambda a8: a8, carry2["a8"])
+
+            # ---- advance the partial-byte counters
+            hmap4 = carry["hmap4"]
+            c8n = c8 * 2 + y
+            if static:
+                if phase == 7:
+                    c8f = jnp.ones(L, U32)
+                    hmf = jnp.ones(L, U32)
+                elif phase == 3:
+                    c8f = c8n
+                    hmf = (hmap4 & 15) << 5 | y << 4 | 1
+                else:
+                    c8f = c8n
+                    hmf = ((hmap4 & np.uint32(0x1F0))
+                           | (((hmap4 & 15) * 2 + y) & 15))
+            else:
+                c8f = jnp.where(phase == 7, jnp.uint32(1), c8n)
+                hm_mid = jnp.where(
+                    phase == 3, (hmap4 & 15) << 5 | y << 4 | 1,
+                    (hmap4 & np.uint32(0x1F0)) | (((hmap4 & 15) * 2 + y)
+                                                  & 15))
+                hmf = jnp.where(phase == 7, jnp.uint32(1), hm_mid)
+
+            return {
+                "a8": a8, "a32": carry2["a32"],
+                "c8": c8f, "hmap4": hmf,
+                "rows": rows2, "hb": hb,
+                "ma": carry2["ma"], "mc": carry2["mc"],
+                "mreg": mreg2,
+                "c": carry["c"] * 2 + y,
+                "cst": carry2["cst"],
+            }
+
+        if self.unroll:
+            for ph in range(8):
+                carry = body(ph, carry)
+        else:
+            carry = jax.lax.fori_loop(0, 8, body, carry)
+
+        st["a8"] = carry["a8"]
+        st["a32"] = carry["a32"]
+        st["c8"] = carry["c8"]
+        st["hmap4"] = carry["hmap4"]
+        for i in self.hash_comps:
+            st[f"hb{i}"] = carry["hb"][i]
+        for i in self.match_comps:
+            st[f"ma{i}"] = carry["ma"][i]
+            st[f"mc{i}"] = carry["mc"][i]
+        byte = carry["c"] - 256
+        self._byte_end(st, mcm)
+        self._run_hcomp(st, byte)
+        return st, byte, carry["cst"]
+
+    # -- the per-bit core ---------------------------------------------------
+    def _bit(self, carry, rows, hb, mbyte, mcm, phase, coder_step):
+        lay = self.lay
+        comps = self.comps
+        n = self.n
+        a32 = carry["a32"]
+        c8 = carry["c8"]
+        hmap4 = carry["hmap4"]
+        hm4 = (hmap4 & 15).astype(I32)
+        h = self.h_cur
+        L = c8.shape[0]
+        static = isinstance(phase, int)
+        if static:
+            shift = np.uint32(7 - phase)
+        else:
+            shift = np.uint32(7) - phase.astype(U32)
+
+        ma = dict(carry["ma"])
+        mc = dict(carry["mc"])
+
+        # ---- gather #1: all table reads whose index is known now
+        g = _Batch()
+        meta: Dict[int, tuple] = {}
+        icm_state: Dict[int, jax.Array] = {}
+        for i, cp in enumerate(comps):
+            t = cp[0]
+            if t == T.CM:
+                size = 1 << cp[1]
+                cxt = (h[:, i] ^ hmap4) & np.uint32(size - 1)
+                meta[i] = ("cm", cxt,
+                           g.add((np.uint32(lay.off32[i]) + cxt).astype(I32)))
+            elif t == T.ICM:
+                stb = _row_read(rows[i], hm4)
+                icm_state[i] = stb
+                meta[i] = ("icm", stb,
+                           g.add((np.uint32(lay.off32[i]) + stb).astype(I32)))
+            elif t == T.ISSE:
+                stb = _row_read(rows[i], hm4)
+                icm_state[i] = stb
+                base = np.uint32(lay.off32[i]) + stb * 2
+                meta[i] = ("isse", stb, g.add(base.astype(I32)),
+                           g.add((base + 1).astype(I32)))
+            elif t == T.MIX:
+                size = 1 << cp[1]
+                m = cp[3]
+                cxt = ((h[:, i] + (c8 & np.uint32(cp[5])))
+                       & np.uint32(size - 1)) * np.uint32(m)
+                slots = [g.add((np.uint32(lay.off32[i]) + cxt
+                                + np.uint32(j)).astype(I32))
+                         for j in range(m)]
+                meta[i] = ("mix", cxt, slots)
+            elif t == T.MIX2:
+                size = 1 << cp[1]
+                cxt = (h[:, i] + (c8 & np.uint32(cp[5]))) \
+                    & np.uint32(size - 1)
+                meta[i] = ("mix2", cxt,
+                           g.add((np.uint32(lay.off32[i]) + cxt).astype(I32)))
+        gv = g.gather(a32)
+
+        # ---- LUT #1: stretch for CM/ICM/MATCH
+        l1 = _Batch()
+        l1meta: Dict[int, int] = {}
+        for i, cp in enumerate(comps):
+            t = cp[0]
+            if t == T.CM:
+                l1meta[i] = l1.add(np.int32(_STR_OFF)
+                                   + (gv[meta[i][2]] >> 17).astype(I32))
+            elif t == T.ICM:
+                l1meta[i] = l1.add(np.int32(_STR_OFF)
+                                   + (gv[meta[i][2]] >> 8).astype(I32))
+            elif t == T.MATCH:
+                a = ma[i]
+                cbit = (mbyte[i] >> shift) & 1
+                mc[i] = jnp.where(a == 0, mc[i], cbit)
+                sign = cbit.astype(I32) * -2 + 1
+                pm = (_dt2k(a) * sign) & 32767
+                l1meta[i] = l1.add(np.int32(_STR_OFF) + pm)
+        l1v = _lut(l1.cols)
+
+        # ---- the mixing chain (elementwise; SSE does its own tiny gather)
+        p: List[jax.Array] = [None] * n          # type: ignore[list-item]
+        sse_meta: Dict[int, tuple] = {}
+        for i, cp in enumerate(comps):
+            t = cp[0]
+            if t == T.CONS:
+                p[i] = jnp.full(L, np.int32((cp[1] - 128) * 4), I32)
+            elif t == T.CM:
+                p[i] = l1v[l1meta[i]]
+            elif t == T.ICM:
+                p[i] = l1v[l1meta[i]]
+            elif t == T.MATCH:
+                p[i] = jnp.where(ma[i] == 0, 0, l1v[l1meta[i]])
+            elif t == T.AVG:
+                p[i] = (p[cp[1]] * cp[3] + p[cp[2]] * (256 - cp[3])) >> 8
+            elif t == T.MIX2:
+                w = _i32(gv[meta[i][2]])
+                p[i] = (w * p[cp[2]] + (65536 - w) * p[cp[3]]) >> 16
+            elif t == T.MIX:
+                m = cp[3]
+                s = jnp.zeros(L, I32)
+                for j in range(m):
+                    s = s + (_i32(gv[meta[i][2][j]]) >> 8) * p[cp[2] + j]
+                p[i] = _clamp2k(s >> 8)
+            elif t == T.ISSE:
+                w0 = _i32(gv[meta[i][2]])
+                w1 = _i32(gv[meta[i][3]])
+                p[i] = _clamp2k((w0 * p[cp[2]] + w1 * 64) >> 16)
+            elif t == T.SSE:
+                size = 32 << cp[1]
+                cxt = (h[:, i] + c8) * 32
+                pq = jnp.clip(p[cp[2]] + 992, 0, 1983)
+                wt = (pq & 63).astype(I32)
+                cxt = cxt + (pq >> 6).astype(U32)
+                gs = _Batch()
+                s0 = gs.add((np.uint32(lay.off32[i])
+                             + (cxt & np.uint32(size - 1))).astype(I32))
+                s1 = gs.add((np.uint32(lay.off32[i])
+                             + ((cxt + 1) & np.uint32(size - 1))).astype(I32))
+                gsv = gs.gather(a32)
+                v0r, v1r = gsv[s0], gsv[s1]
+                v0 = (v0r >> 10).astype(I32)
+                v1 = (v1r >> 10).astype(I32)
+                pidx = (v0 * (64 - wt) + v1 * wt) >> 13
+                p[i] = _lut([np.int32(_STR_OFF) + pidx])[0]
+                sse_meta[i] = (cxt + (wt >> 5).astype(U32), v0r, v1r, wt)
+            else:
+                raise ValueError(f"unknown component type {t}")
+
+        if self.unroll and getattr(self, "debug_p", None) is not None:
+            self.debug_p.append(jnp.stack(p, axis=1))
+
+        # ---- LUT #2: squash of the final prediction + every update error
+        l2 = _Batch()
+        pf_slot = l2.add(np.int32(_SQ_OFF) + p[n - 1] + 2048)
+        err_slot: Dict[int, int] = {}
+        for i, cp in enumerate(comps):
+            if cp[0] in (T.ISSE, T.MIX, T.MIX2):
+                err_slot[i] = l2.add(np.int32(_SQ_OFF) + p[i] + 2048)
+        l2v = _lut(l2.cols)
+        p_final = l2v[pf_slot]
+
+        # ---- the coded bit
+        y, cst = coder_step(carry["cst"], phase, p_final)
+        y = y.astype(U32)
+        yi = y.astype(I32)
+
+        # ---- LUT #3: bit-history transitions
+        l3 = _Batch()
+        sns_slot = {i: l3.add(np.int32(_SNS_OFF)
+                              + icm_state[i].astype(I32) * 4 + yi)
+                    for i in self.hash_comps}
+        l3v = _lut(l3.cols)
+
+        # ---- update: one u32 scatter
+        rows2 = dict(rows)
+        cols: List[jax.Array] = []
+        vals: List[jax.Array] = []
+        for i, cp in enumerate(comps):
+            t = cp[0]
+            if t == T.CM:
+                cxt, slot = meta[i][1], meta[i][2]
+                pn = gv[slot]
+                count = (pn & 1023).astype(I32)
+                error = yi * 32767 - (pn >> 17).astype(I32)
+                delta = _u32((error * _dt(count)) & -1024)
+                pn2 = pn + delta + (count < cp[2] * 4).astype(U32)
+                cols.append((np.uint32(lay.off32[i]) + cxt).astype(I32))
+                vals.append(pn2)
+            elif t == T.ICM:
+                stb, slot = meta[i][1], meta[i][2]
+                rows2[i] = _row_write(rows2[i], hm4, l3v[sns_slot[i]])
+                pn = gv[slot]
+                delta = _u32((yi * 32767 - (pn >> 8).astype(I32)) >> 2)
+                cols.append((np.uint32(lay.off32[i]) + stb).astype(I32))
+                vals.append(pn + delta)
+            elif t == T.ISSE:
+                stb = meta[i][1]
+                err = yi * 32767 - l2v[err_slot[i]]
+                w0 = _i32(gv[meta[i][2]])
+                w1 = _i32(gv[meta[i][3]])
+                w0n = _clamp512k(w0 + ((err * p[cp[2]] + (1 << 12)) >> 13))
+                w1n = _clamp512k(w1 + ((err + 16) >> 5))
+                base = (np.uint32(lay.off32[i]) + stb * 2).astype(I32)
+                cols += [base, base + 1]
+                vals += [_u32(w0n), _u32(w1n)]
+                rows2[i] = _row_write(rows2[i], hm4, l3v[sns_slot[i]])
+            elif t == T.MIX:
+                m = cp[3]
+                err = ((yi * 32767 - l2v[err_slot[i]]) * cp[4]) >> 4
+                cxt = meta[i][1]
+                for j in range(m):
+                    w = _i32(gv[meta[i][2][j]])
+                    wn = _clamp512k(w + ((err * p[cp[2] + j] + (1 << 12))
+                                         >> 13))
+                    cols.append((np.uint32(lay.off32[i]) + cxt
+                                 + np.uint32(j)).astype(I32))
+                    vals.append(_u32(wn))
+            elif t == T.MIX2:
+                err = ((yi * 32767 - l2v[err_slot[i]]) * cp[4]) >> 5
+                w = _i32(gv[meta[i][2]])
+                wn = jnp.clip(
+                    w + ((err * (p[cp[2]] - p[cp[3]]) + (1 << 12)) >> 13),
+                    0, 65535)
+                cols.append((np.uint32(lay.off32[i]) + meta[i][1]).astype(I32))
+                vals.append(_u32(wn))
+            elif t == T.SSE:
+                size = 32 << cp[1]
+                cxt_f, v0r, v1r, wt = sse_meta[i]
+                pn = jnp.where((wt >> 5) == 1, v1r, v0r)
+                count = (pn & 1023).astype(I32)
+                error = yi * 32767 - (pn >> 17).astype(I32)
+                delta = _u32((error * _dt(count)) & -1024)
+                pn2 = pn + delta + (count < cp[4] * 4).astype(U32)
+                cols.append((np.uint32(lay.off32[i])
+                             + (cxt_f & np.uint32(size - 1))).astype(I32))
+                vals.append(pn2)
+            elif t == T.MATCH:
+                ma[i] = jnp.where(mc[i] != y, jnp.zeros_like(ma[i]), ma[i])
+        a32 = _scatter(a32, cols, vals)
+
+        carry2 = dict(carry)
+        carry2["a32"] = a32
+        carry2["ma"] = ma
+        carry2["mc"] = mc
+        carry2["cst"] = cst
+        return carry2, rows2, y
+
+    # -- byte-end MATCH bookkeeping -----------------------------------------
+    def _byte_end(self, st: Dict, mcm: Dict[int, jax.Array]) -> None:
+        lay = self.lay
+        cols: List[jax.Array] = []
+        vals: List[jax.Array] = []
+        for i in self.match_comps:
+            cp = self.comps[i]
+            mask = np.uint32((1 << cp[2]) - 1)
+            cmmask = np.uint32((1 << cp[1]) - 1)
+            off8 = np.uint32(lay.off8[i])
+            a = st[f"ma{i}"]
+            pos1 = (st[f"ml{i}"] + 1) & mask
+            b_new = pos1 - mcm[i]
+            b = jnp.where(a == 0, b_new, st[f"mb{i}"])
+            need_scan = (a == 0) & ((b_new & mask) != 0)
+
+            # W-wide match extension (same algorithm as predictor_batched:
+            # compare 64-byte rows, add the common-prefix run per round)
+            W = 64
+            offs = jnp.arange(W, dtype=U32)
+            a8 = st["a8"]
+
+            def scan_cond(carry):
+                _, act = carry
+                return jnp.any(act)
+
+            def scan_body(carry):
+                a_, act = carry
+                i1 = (off8 + ((pos1[:, None] - a_[:, None] - 1
+                               - offs[None, :]) & mask)).astype(I32)
+                i2 = (off8 + ((pos1[:, None] - a_[:, None] - b[:, None] - 1
+                               - offs[None, :]) & mask)).astype(I32)
+                v1 = jnp.take_along_axis(a8, i1, axis=1,
+                                         mode="promise_in_bounds")
+                v2 = jnp.take_along_axis(a8, i2, axis=1,
+                                         mode="promise_in_bounds")
+                eq = v1 == v2
+                run = jnp.where(jnp.all(eq, axis=1), W,
+                                jnp.argmin(eq, axis=1).astype(U32))
+                grow = jnp.minimum(run, 255 - a_)
+                a_n = a_ + jnp.where(act, grow, 0)
+                act2 = act & (run >= W) & (a_n < 255)
+                return a_n, act2
+
+            a_scan, _ = jax.lax.while_loop(
+                scan_cond, scan_body, (jnp.zeros_like(a), need_scan))
+            a_new = jnp.where(
+                a == 0,
+                jnp.where(need_scan, a_scan, jnp.zeros_like(a)),
+                jnp.minimum(a + 1, 255))
+            hidx = (st["h"][:, i] & cmmask)
+            cols.append((np.uint32(lay.off32[i]) + hidx).astype(I32))
+            vals.append(pos1)
+            st[f"ma{i}"] = a_new
+            st[f"mb{i}"] = b
+            st[f"ml{i}"] = pos1
+        if cols:
+            st["a32"] = _scatter(st["a32"], cols, vals)
+
+
+# ---------------------------------------------------------------------------
+class ArenaDecoder:
+    """Drop-in replacement for coder_batched.BatchedDecoder (same decode()
+    signature) built on the arena engine."""
+
+    def __init__(self, model: Model, max_hcomp_steps: Optional[int] = None,
+                 unroll: bool = False):
+        self.core = ArenaCoder(model, max_hcomp_steps, unroll=unroll)
+
+    def decode(self, data: jax.Array, max_bytes: int
+               ) -> Tuple[jax.Array, jax.Array, Dict]:
+        core = self.core
+        L = data.shape[0]
+        st = core.init_state(L)
+        pos = jnp.full(L, 4, I32)
+        curr = jnp.zeros(L, U32)
+        for j in range(4):
+            b = jnp.where(j < data.shape[1],
+                          data[:, min(j, data.shape[1] - 1)].astype(U32), 0)
+            curr = (curr << 8) | b
+        st["dec"] = DecState(jnp.ones(L, U32),
+                             jnp.full(L, 0xFFFFFFFF, U32), curr, pos)
+        st["active"] = jnp.ones(L, bool)
+        st["len"] = jnp.zeros(L, I32)
+
+        def step(st, _):
+            st = dict(st)
+            ds = st.pop("dec")
+            win = _Win(data, ds.pos)
+
+            def renorm(ds):
+                low, high, curr, pos = ds
+                for _ in range(4):
+                    go = (high ^ low) < np.uint32(1 << 24)
+                    byte = win.read(pos)
+                    high = jnp.where(go, (high << 8) | 255, high)
+                    low2 = low << 8
+                    low2 = low2 + (low2 == 0).astype(U32)
+                    low = jnp.where(go, low2, low)
+                    curr = jnp.where(go, (curr << 8) | byte, curr)
+                    pos = pos + go.astype(I32)
+                return DecState(low, high, curr, pos)
+
+            def dec_bit(ds, p):
+                mid = _range_split(ds.low, ds.high, p)
+                y = ds.curr <= mid
+                high = jnp.where(y, mid, ds.high)
+                low = jnp.where(y, ds.low, mid + 1)
+                return y, renorm(DecState(low, high, ds.curr, ds.pos))
+
+            eos, ds = dec_bit(ds, jnp.zeros(L, U32))
+            live = st["active"] & ~eos
+
+            def coder_step(cst, phase, p_final):
+                p2 = p_final.astype(U32) * 2 + 1
+                y, ds2 = dec_bit(cst, p2)
+                return y.astype(U32), ds2
+
+            st2, byte, ds = core.byte_step(st, coder_step, ds)
+            st2["dec"] = ds
+            st2["active"] = live
+            st2["len"] = st["len"] + live.astype(I32)
+            return st2, byte.astype(U8)
+
+        st, outs = jax.lax.scan(step, st, None, length=max_bytes)
+        return outs.T, st["len"], st
+
+
+class ArenaEncoder:
+    """Drop-in replacement for coder_batched.BatchedEncoder."""
+
+    def __init__(self, model: Model, out_cap: int,
+                 max_hcomp_steps: Optional[int] = None,
+                 unroll: bool = False):
+        self.core = ArenaCoder(model, max_hcomp_steps, unroll=unroll)
+        self.out_cap = out_cap
+
+    def encode(self, data: jax.Array, lengths: jax.Array) -> Dict:
+        core = self.core
+        L = data.shape[0]
+        st = core.init_state(L)
+        st["out"] = jnp.zeros((L, self.out_cap), U8)
+        st["cnt"] = jnp.zeros(L, I32)
+        EW = 40
+
+        def emit(cst, bv, go):
+            cols = jax.lax.broadcasted_iota(I32, (L, EW), 1)
+            m = (cols == cst["ecnt"][:, None]) & go[:, None]
+            ebuf = jnp.where(m, bv.astype(U8)[:, None], cst["ebuf"])
+            return dict(cst, ebuf=ebuf, ecnt=cst["ecnt"] + go.astype(I32))
+
+        def enc_bit(cst, yb, p, active):
+            low, high = cst["low"], cst["high"]
+            mid = _range_split(low, high, p)
+            high2 = jnp.where(yb, mid, high)
+            low2 = jnp.where(yb, low, mid + 1)
+            high = jnp.where(active, high2, high)
+            low = jnp.where(active, low2, low)
+            for _ in range(4):
+                go = ((high ^ low) < np.uint32(1 << 24)) & active
+                cst = emit(cst, (high >> 24) & 255, go)
+                high = jnp.where(go, (high << 8) | 255, high)
+                lw = low << 8
+                lw = lw + (lw == 0).astype(U32)
+                low = jnp.where(go, lw, low)
+            return dict(cst, low=low, high=high)
+
+        def step(st, j):
+            st = dict(st)
+            byte = jnp.where(
+                j < data.shape[1],
+                jnp.take_along_axis(
+                    data, jnp.minimum(jnp.full(L, j, I32),
+                                      data.shape[1] - 1)[:, None],
+                    axis=1, mode="promise_in_bounds")[:, 0], 0).astype(U32)
+            is_data = j < lengths
+            is_eos = j == lengths
+            cst = {"low": st.pop("low"), "high": st.pop("high"),
+                   "ebuf": jnp.zeros((L, EW), U8),
+                   "ecnt": jnp.zeros(L, I32)}
+            cst = enc_bit(cst, is_eos, jnp.zeros(L, U32), is_data | is_eos)
+
+            def coder_step(cst, phase, p_final):
+                if isinstance(phase, int):
+                    shift = np.uint32(7 - phase)
+                else:
+                    shift = np.uint32(7) - phase.astype(U32)
+                y = (byte >> shift) & 1
+                cst = enc_bit(cst, y.astype(bool),
+                              p_final.astype(U32) * 2 + 1, is_data)
+                return y, cst
+
+            st2, _, cst = core.byte_step(st, coder_step, cst)
+            st2["low"], st2["high"] = cst["low"], cst["high"]
+            # flush the local emit buffer: one contiguous scatter
+            cols = st["cnt"][:, None] + jnp.arange(EW, dtype=I32)[None, :]
+            cols = jnp.where(jnp.arange(EW, dtype=I32)[None, :]
+                             < cst["ecnt"][:, None], cols, self.out_cap)
+            lanes = jnp.arange(L)
+            st2["out"] = st["out"].at[lanes[:, None], cols].set(
+                cst["ebuf"], mode="drop")
+            st2["cnt"] = st["cnt"] + cst["ecnt"]
+            return st2, None
+
+        st["low"] = jnp.ones(L, U32)
+        st["high"] = jnp.full(L, 0xFFFFFFFF, U32)
+        st, _ = jax.lax.scan(step, st, jnp.arange(data.shape[1] + 1,
+                                                  dtype=I32))
+        return st

@@ -237,8 +237,12 @@ class BatchedPredictor:
         }
         for i, cp in enumerate(self.comps):
             t = cp[0]
+            # underscore-separated keys: f"c{i}" at i=8 collided with the
+            # partial-byte counter "c8", silently zeroing it every predict
+            # for any model with >= 9 components (m4/m5) — device streams
+            # round-tripped but were not format-identical to the host engine
             for k in ("cxt", "a", "b", "c", "lim"):
-                st[f"{k}{i}"] = jnp.zeros(L, U32)
+                st[f"{k}_{i}"] = jnp.zeros(L, U32)
             if t == T.CM:
                 st[f"cm{i}"] = jnp.full((L, 1 << cp[1]), 0x80000000, U32)
             elif t == T.ICM:
@@ -294,27 +298,27 @@ class BatchedPredictor:
             elif t == T.CM:
                 size = 1 << cp[1]
                 cxt = (hi ^ hmap4) & np.uint32(size - 1)
-                st[f"cxt{i}"] = _sel(active, cxt, st[f"cxt{i}"])
+                st[f"cxt_{i}"] = _sel(active, cxt, st[f"cxt_{i}"])
                 p[i] = _STRETCHT[(_gather(st[f"cm{i}"], cxt) >> 17).astype(I32)]
             elif t == T.ICM:
                 if new_probe:
                     ht, idx = _find(st[f"ht{i}"], cp[1] + 2, hi + 16 * c8,
                                     amask)
                     st[f"ht{i}"] = ht
-                    st[f"c{i}"] = _sel(active, idx.astype(U32), st[f"c{i}"])
+                    st[f"c_{i}"] = _sel(active, idx.astype(U32), st[f"c_{i}"])
                 cxt = _gather(st[f"ht{i}"],
-                              st[f"c{i}"] + (hmap4 & 15)).astype(U32)
-                st[f"cxt{i}"] = _sel(active, cxt, st[f"cxt{i}"])
+                              st[f"c_{i}"] + (hmap4 & 15)).astype(U32)
+                st[f"cxt_{i}"] = _sel(active, cxt, st[f"cxt_{i}"])
                 p[i] = _STRETCHT[(_gather(st[f"cm{i}"], cxt) >> 8).astype(I32)]
             elif t == T.MATCH:
                 ht = st[f"ht{i}"]
                 mask = np.uint32(ht.shape[1] - 1)
-                a = st[f"a{i}"]
-                byte = _gather(ht, (st[f"lim{i}"] - st[f"b{i}"]) & mask)
+                a = st[f"a_{i}"]
+                byte = _gather(ht, (st[f"lim_{i}"] - st[f"b_{i}"]) & mask)
                 cbit = ((byte.astype(U32) >> (np.uint32(7 - phase))) & 1)
-                st[f"c{i}"] = _sel(active,
-                                   jnp.where(a == 0, st[f"c{i}"], cbit),
-                                   st[f"c{i}"])
+                st[f"c_{i}"] = _sel(active,
+                                   jnp.where(a == 0, st[f"c_{i}"], cbit),
+                                   st[f"c_{i}"])
                 sign = cbit.astype(I32) * -2 + 1
                 pm = (_DT2K[a.astype(I32)] * sign) & 32767
                 p[i] = jnp.where(a == 0, 0, _STRETCHT[pm])
@@ -323,7 +327,7 @@ class BatchedPredictor:
             elif t == T.MIX2:
                 size = 1 << cp[1]
                 cxt = ((hi + (c8 & np.uint32(cp[5]))) & np.uint32(size - 1))
-                st[f"cxt{i}"] = _sel(active, cxt, st[f"cxt{i}"])
+                st[f"cxt_{i}"] = _sel(active, cxt, st[f"cxt_{i}"])
                 w = _gather(st[f"a16{i}"], cxt)
                 p[i] = (w * p[cp[2]] + (65536 - w) * p[cp[3]]) >> 16
             elif t == T.MIX:
@@ -331,7 +335,7 @@ class BatchedPredictor:
                 size = 1 << cp[1]
                 cxt = ((hi + (c8 & np.uint32(cp[5])))
                        & np.uint32(size - 1)) * np.uint32(m)
-                st[f"cxt{i}"] = _sel(active, cxt, st[f"cxt{i}"])
+                st[f"cxt_{i}"] = _sel(active, cxt, st[f"cxt_{i}"])
                 rows = st[f"cm{i}"]
                 cols = cxt.astype(I32)[:, None] + jnp.arange(m)[None, :]
                 wt = jnp.take_along_axis(rows, cols, axis=1)      # (L, m)
@@ -343,10 +347,10 @@ class BatchedPredictor:
                     ht, idx = _find(st[f"ht{i}"], cp[1] + 2, hi + 16 * c8,
                                     amask)
                     st[f"ht{i}"] = ht
-                    st[f"c{i}"] = _sel(active, idx.astype(U32), st[f"c{i}"])
+                    st[f"c_{i}"] = _sel(active, idx.astype(U32), st[f"c_{i}"])
                 cxt = _gather(st[f"ht{i}"],
-                              st[f"c{i}"] + (hmap4 & 15)).astype(U32)
-                st[f"cxt{i}"] = _sel(active, cxt, st[f"cxt{i}"])
+                              st[f"c_{i}"] + (hmap4 & 15)).astype(U32)
+                st[f"cxt_{i}"] = _sel(active, cxt, st[f"cxt_{i}"])
                 wt = st[f"cm{i}"]
                 w0 = _gather(wt, cxt * 2)
                 w1 = _gather(wt, cxt * 2 + 1)
@@ -362,8 +366,8 @@ class BatchedPredictor:
                 v1 = (_gather(st[f"cm{i}"], (cxt + 1) & np.uint32(size - 1))
                       >> 10).astype(I32)
                 p[i] = _STRETCHT[(v0 * (64 - wt) + v1 * wt) >> 13]
-                st[f"cxt{i}"] = _sel(active, cxt + (wt >> 5).astype(U32),
-                                     st[f"cxt{i}"])
+                st[f"cxt_{i}"] = _sel(active, cxt + (wt >> 5).astype(U32),
+                                     st[f"cxt_{i}"])
             else:
                 raise ValueError(f"unknown component type {t}")
         p_final = _SQUASHT[p[self.n - 1] + 2048]
@@ -374,7 +378,7 @@ class BatchedPredictor:
         """CM/SSE table training (reference libzpaq.h:1151-1157)."""
         cm = st[f"cm{i}"]
         size = cm.shape[1]
-        idx = st[f"cxt{i}"] & np.uint32(size - 1)
+        idx = st[f"cxt_{i}"] & np.uint32(size - 1)
         pn = _gather(cm, idx)
         count = (pn & 1023).astype(I32)
         error = y.astype(I32) * 32767 - (pn >> 17).astype(I32)
@@ -400,12 +404,12 @@ class BatchedPredictor:
                 self._train(st, i, cp[1], cp[2] * 4, y, active)
             elif t == T.ICM:
                 ht = st[f"ht{i}"]
-                idx = (st[f"c{i}"] + (hmap4 & 15)).astype(I32)
+                idx = (st[f"c_{i}"] + (hmap4 & 15)).astype(I32)
                 old = _gather(ht, idx)
                 st[f"ht{i}"] = _scatter1(
                     ht, idx, _SNS[old.astype(I32) * 4 + yi], active)
                 cm = st[f"cm{i}"]
-                cxt = st[f"cxt{i}"].astype(I32)
+                cxt = st[f"cxt_{i}"].astype(I32)
                 pn = _gather(cm, cxt)
                 delta = ((yi * 32767 - (pn >> 8).astype(I32)) >> 2).astype(U32)
                 st[f"cm{i}"] = _scatter1(cm, cxt, pn + delta, active)
@@ -413,9 +417,9 @@ class BatchedPredictor:
                 ht, cm = st[f"ht{i}"], st[f"cm{i}"]
                 mask = np.uint32(ht.shape[1] - 1)
                 cmmask = np.uint32(cm.shape[1] - 1)
-                a = st[f"a{i}"]
-                a = jnp.where(st[f"c{i}"] != yu, jnp.zeros_like(a), a)
-                pos = st[f"lim{i}"]
+                a = st[f"a_{i}"]
+                a = jnp.where(st[f"c_{i}"] != yu, jnp.zeros_like(a), a)
+                pos = st[f"lim_{i}"]
                 widx = (pos & mask).astype(I32)
                 old = _gather(ht, widx).astype(U32)
                 st[f"ht{i}"] = _scatter1(
@@ -425,7 +429,7 @@ class BatchedPredictor:
                     pos1 = (pos + 1) & mask
                     hidx = (st["h"][:, i] & cmmask).astype(I32)
                     b_new = pos1 - _gather(cm, hidx)
-                    b = jnp.where(a == 0, b_new, st[f"b{i}"])
+                    b = jnp.where(a == 0, b_new, st[f"b_{i}"])
                     need_scan = (a == 0) & ((b_new & mask) != 0)
                     if active is not None:
                         need_scan = need_scan & active
@@ -467,18 +471,18 @@ class BatchedPredictor:
                                             jnp.zeros_like(a)),
                                   jnp.minimum(a + 1, 255))
                     st[f"cm{i}"] = _scatter1(cm, hidx, pos1, active)
-                    st[f"b{i}"] = _sel(active, b, st[f"b{i}"])
-                    st[f"lim{i}"] = _sel(active, pos1, st[f"lim{i}"])
-                    st[f"cxt{i}"] = _sel(active, jnp.zeros_like(pos1),
-                                         st[f"cxt{i}"])
+                    st[f"b_{i}"] = _sel(active, b, st[f"b_{i}"])
+                    st[f"lim_{i}"] = _sel(active, pos1, st[f"lim_{i}"])
+                    st[f"cxt_{i}"] = _sel(active, jnp.zeros_like(pos1),
+                                         st[f"cxt_{i}"])
                 else:
-                    st[f"cxt{i}"] = _sel(active, st[f"cxt{i}"] + 1,
-                                         st[f"cxt{i}"])
-                st[f"a{i}"] = _sel(active, a, st[f"a{i}"])
+                    st[f"cxt_{i}"] = _sel(active, st[f"cxt_{i}"] + 1,
+                                         st[f"cxt_{i}"])
+                st[f"a_{i}"] = _sel(active, a, st[f"a_{i}"])
             elif t == T.MIX2:
                 err = ((yi * 32767 - _SQUASHT[p[i] + 2048]) * cp[4]) >> 5
                 a16 = st[f"a16{i}"]
-                cxt = st[f"cxt{i}"].astype(I32)
+                cxt = st[f"cxt_{i}"].astype(I32)
                 w = _gather(a16, cxt)
                 w = w + ((err * (p[cp[2]] - p[cp[3]]) + (1 << 12)) >> 13)
                 st[f"a16{i}"] = _scatter1(
@@ -487,23 +491,23 @@ class BatchedPredictor:
                 m = cp[3]
                 err = ((yi * 32767 - _SQUASHT[p[i] + 2048]) * cp[4]) >> 4
                 cm = st[f"cm{i}"]
-                cols = st[f"cxt{i}"].astype(I32)[:, None] + jnp.arange(m)[None, :]
+                cols = st[f"cxt_{i}"].astype(I32)[:, None] + jnp.arange(m)[None, :]
                 wt = jnp.take_along_axis(cm, cols, axis=1)
                 pin = jnp.stack([p[cp[2] + j] for j in range(m)], axis=1)
                 wt2 = _clamp512k(wt + ((err[:, None] * pin + (1 << 12)) >> 13))
                 st[f"cm{i}"] = _scatter_row(
-                    cm, st[f"cxt{i}"].astype(I32), wt2, active)
+                    cm, st[f"cxt_{i}"].astype(I32), wt2, active)
             elif t == T.ISSE:
                 err = yi * 32767 - _SQUASHT[p[i] + 2048]
                 cm = st[f"cm{i}"]
-                cxt = st[f"cxt{i}"].astype(I32)
+                cxt = st[f"cxt_{i}"].astype(I32)
                 w0 = _gather(cm, cxt * 2)
                 w1 = _gather(cm, cxt * 2 + 1)
                 w0n = _clamp512k(w0 + ((err * p[cp[2]] + (1 << 12)) >> 13))
                 w1n = _clamp512k(w1 + ((err + 16) >> 5))
                 st[f"cm{i}"] = _scatter_pair(cm, cxt * 2, w0n, w1n, active)
                 ht = st[f"ht{i}"]
-                idx = (st[f"c{i}"] + (hmap4 & 15)).astype(I32)
+                idx = (st[f"c_{i}"] + (hmap4 & 15)).astype(I32)
                 st[f"ht{i}"] = _scatter1(ht, idx, _SNS[cxt * 4 + yi], active)
             elif t == T.SSE:
                 self._train(st, i, cp[1], cp[4] * 4, y, active)

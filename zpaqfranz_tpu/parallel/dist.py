@@ -59,8 +59,7 @@ def encode_streams_sharded(model: Model, payloads: Sequence[bytes],
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from ..ops.coder_batched import BatchedEncoder
-    from .engine import _bucket
+    from .engine import _bucket, _engine_name
 
     mesh = mesh or default_mesh()
     dp = mesh.shape["dp"]
@@ -74,16 +73,25 @@ def encode_streams_sharded(model: Model, payloads: Sequence[bytes],
         data[i, : len(p)] = np.frombuffer(p, np.uint8)
         lengths[i] = len(p)
     cap = maxlen + maxlen // 2 + 64
-    enc = BatchedEncoder(model, out_cap=cap)
+    if _engine_name() == "batched":
+        from ..ops.coder_batched import BatchedEncoder
+        enc = BatchedEncoder(model, out_cap=cap)
+        run = lambda d, n: (lambda st: (st["enc"].out, st["enc"].cnt)
+                            )(enc.encode(d, n))
+    else:
+        from ..ops.codec_arena import ArenaEncoder
+        enc = ArenaEncoder(model, out_cap=cap)
+        run = lambda d, n: (lambda st: (st["out"], st["cnt"])
+                            )(enc.encode(d, n))
 
     data_j = jax.device_put(jnp.asarray(data),
                             NamedSharding(mesh, P("dp", None)))
     len_j = jax.device_put(jnp.asarray(lengths), NamedSharding(mesh, P("dp")))
 
     with mesh:
-        st = jax.jit(enc.encode)(data_j, len_j)
-    out = np.asarray(st["enc"].out)
-    cnt = np.asarray(st["enc"].cnt)
+        out, cnt = jax.jit(run)(data_j, len_j)
+    out = np.asarray(out)
+    cnt = np.asarray(cnt)
     return [bytes(out[i, : cnt[i]]) for i in range(len(payloads))]
 
 
@@ -93,8 +101,7 @@ def decode_streams_sharded(model: Model, streams: Sequence[bytes],
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from ..ops.coder_batched import BatchedDecoder
-    from .engine import _bucket
+    from .engine import _bucket, _engine_name
 
     mesh = mesh or default_mesh()
     dp = mesh.shape["dp"]
@@ -105,7 +112,12 @@ def decode_streams_sharded(model: Model, streams: Sequence[bytes],
     data = np.zeros((L, maxlen), np.uint8)
     for i, s in enumerate(streams):
         data[i, : len(s)] = np.frombuffer(s, np.uint8)
-    dec = BatchedDecoder(model)
+    if _engine_name() == "batched":
+        from ..ops.coder_batched import BatchedDecoder
+        dec = BatchedDecoder(model)
+    else:
+        from ..ops.codec_arena import ArenaDecoder
+        dec = ArenaDecoder(model)
     data_j = jax.device_put(jnp.asarray(data),
                             NamedSharding(mesh, P("dp", None)))
     with mesh:

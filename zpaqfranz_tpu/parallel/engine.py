@@ -32,12 +32,53 @@ def _bucket(n: int) -> int:
     return max(8, 1 << math.ceil(math.log2(max(n, 1))))
 
 
+def _engine_name() -> str:
+    """Device engine selection: 'arena' (default — wide batched gathers,
+    ~25-55 memory ops/byte for all lanes, see ops/codec_arena.py) or
+    'batched' (the round-3 per-table-op engine, kept for comparison)."""
+    import os
+    return os.environ.get("ZPAQFRANZ_DEVICE_ENGINE", "arena")
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache: codec graphs are large and the
+    tunnel compile path is slow, so cache across processes/bench runs."""
+    import os
+    import jax
+    try:
+        d = os.environ.get("ZPAQFRANZ_JAX_CACHE",
+                           os.path.expanduser("~/.cache/zpaqfranz_jax"))
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+def _model_lane_bytes(model: Model, maxlen: int, max_out: int) -> int:
+    """Device bytes needed per lane (arenas + streams + stacked output)."""
+    from ..ops.codec_arena import _Layout
+    lay = _Layout(model)
+    return lay.s8 + 4 * lay.s32 + maxlen + 2 * max_out + (1 << 17)
+
+
+_DEVICE_BUDGET = 12 << 30   # leave headroom on a 16 GB chip
+
+
 class DeviceCoder:
     """Lazy per-model jitted decode/encode entry points."""
 
     def __init__(self):
         self._decode_cache: Dict[tuple, object] = {}
         self._encode_cache: Dict[tuple, object] = {}
+        _enable_compile_cache()
+
+    def _lane_chunks(self, n: int, model: Model, maxlen: int,
+                     max_out: int) -> List[Tuple[int, int]]:
+        """Split n lanes into (start, count) chunks fitting device memory."""
+        cap = max(1, _DEVICE_BUDGET // _model_lane_bytes(model, maxlen,
+                                                         max_out))
+        return [(s, min(cap, n - s)) for s in range(0, n, cap)]
 
     # ---- decode ---------------------------------------------------------
     def decode_streams(self, model: Model, streams: Sequence[bytes],
@@ -50,25 +91,35 @@ class DeviceCoder:
         """
         import jax
         import jax.numpy as jnp
-        from ..ops.coder_batched import BatchedDecoder
 
-        L = _bucket(len(streams))
         maxlen = _bucket(max(len(s) for s in streams))
         max_out = _bucket(max_out)
-        data = np.zeros((L, maxlen), np.uint8)
-        for i, s in enumerate(streams):
-            data[i, : len(s)] = np.frombuffer(s, np.uint8)
-        key = (model.header_bytes(), L, maxlen, max_out)
-        fn = self._decode_cache.get(key)
-        if fn is None:
-            dec = BatchedDecoder(model)
-            fn = jax.jit(lambda d: dec.decode(d, max_out))
-            self._decode_cache[key] = fn
-        out, lengths, _ = fn(jnp.asarray(data))
-        out = np.asarray(out)
-        lengths = np.asarray(lengths)
-        return [bytes(out[i, : int(lengths[i])])
-                for i in range(len(streams))]
+        result: List[bytes] = []
+        for start, count in self._lane_chunks(len(streams), model, maxlen,
+                                              max_out):
+            sub = streams[start: start + count]
+            L = _bucket(len(sub))
+            data = np.zeros((L, maxlen), np.uint8)
+            for i, s in enumerate(sub):
+                data[i, : len(s)] = np.frombuffer(s, np.uint8)
+            key = (model.header_bytes(), L, maxlen, max_out, _engine_name())
+            fn = self._decode_cache.get(key)
+            if fn is None:
+                if _engine_name() == "batched":
+                    from ..ops.coder_batched import BatchedDecoder
+                    dec = BatchedDecoder(model)
+                    fn = jax.jit(lambda d: dec.decode(d, max_out)[:2])
+                else:
+                    from ..ops.codec_arena import ArenaDecoder
+                    dec = ArenaDecoder(model)
+                    fn = jax.jit(lambda d: dec.decode(d, max_out)[:2])
+                self._decode_cache[key] = fn
+            out, lengths = fn(jnp.asarray(data))
+            out = np.asarray(out)
+            lengths = np.asarray(lengths)
+            result.extend(bytes(out[i, : int(lengths[i])])
+                          for i in range(len(sub)))
+        return result
 
     # ---- encode ---------------------------------------------------------
     def encode_streams(self, model: Model, payloads: Sequence[bytes]
@@ -77,26 +128,40 @@ class DeviceCoder:
         Returns the coded byte stream per payload."""
         import jax
         import jax.numpy as jnp
-        from ..ops.coder_batched import BatchedEncoder
 
-        L = _bucket(len(payloads))
         maxlen = _bucket(max(len(p) for p in payloads) + 1)
-        data = np.zeros((L, maxlen), np.uint8)
-        lengths = np.zeros(L, np.int32)
-        for i, p in enumerate(payloads):
-            data[i, : len(p)] = np.frombuffer(p, np.uint8)
-            lengths[i] = len(p)
         cap = maxlen + maxlen // 2 + 64
-        key = (model.header_bytes(), L, maxlen)
-        fn = self._encode_cache.get(key)
-        if fn is None:
-            enc = BatchedEncoder(model, out_cap=cap)
-            fn = jax.jit(enc.encode)
-            self._encode_cache[key] = fn
-        st = fn(jnp.asarray(data), jnp.asarray(lengths))
-        out = np.asarray(st["enc"].out)
-        cnt = np.asarray(st["enc"].cnt)
-        return [bytes(out[i, : cnt[i]]) for i in range(len(payloads))]
+        result: List[bytes] = []
+        for start, count in self._lane_chunks(len(payloads), model, maxlen,
+                                              cap):
+            sub = payloads[start: start + count]
+            L = _bucket(len(sub))
+            data = np.zeros((L, maxlen), np.uint8)
+            lengths = np.zeros(L, np.int32)
+            for i, p in enumerate(sub):
+                data[i, : len(p)] = np.frombuffer(p, np.uint8)
+                lengths[i] = len(p)
+            key = (model.header_bytes(), L, maxlen, _engine_name())
+            fn = self._encode_cache.get(key)
+            if fn is None:
+                if _engine_name() == "batched":
+                    from ..ops.coder_batched import BatchedEncoder
+                    enc = BatchedEncoder(model, out_cap=cap)
+                    fn = jax.jit(lambda d, n: (
+                        lambda st: (st["enc"].out, st["enc"].cnt)
+                    )(enc.encode(d, n)))
+                else:
+                    from ..ops.codec_arena import ArenaEncoder
+                    enc = ArenaEncoder(model, out_cap=cap)
+                    fn = jax.jit(lambda d, n: (
+                        lambda st: (st["out"], st["cnt"])
+                    )(enc.encode(d, n)))
+                self._encode_cache[key] = fn
+            out, cnt = fn(jnp.asarray(data), jnp.asarray(lengths))
+            out = np.asarray(out)
+            cnt = np.asarray(cnt)
+            result.extend(bytes(out[i, : cnt[i]]) for i in range(len(sub)))
+        return result
 
 
 _CODER: Optional[DeviceCoder] = None
