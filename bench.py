@@ -287,7 +287,7 @@ def _bench_golden_parity(detail: dict) -> None:
 # cannot be fetched under zero egress) must not regress vs the recorded
 # values below by more than 1%.  Update deliberately when a ratio-improving
 # change lands; a silent increase is a compression regression.
-_RATIO_EXPECT = {"1": 3424027, "2": 3106682, "3": 1868195, "4": 314569,
+_RATIO_EXPECT = {"1": 252538, "2": 225555, "3": 245018, "4": 156990,
                  "5": 154970}
 
 

@@ -1308,6 +1308,78 @@ long tzs_read_block(void* hv) {
   }
 }
 
+// Decode the block at the current cursor and SHA-1 the concatenated output
+// over consecutive spans, entirely native: the verify ('t') hot path moves
+// zero decoded bytes across the ctypes boundary (the decode->join->hash
+// round trip through Python cost two 16 MB copies per block under the GIL).
+// ends[] are cumulative span end offsets; digests_out receives nspans*20
+// bytes.  Returns decoded byte count, -1 on error (message via tzs_error),
+// -2 if the decoded stream is shorter than ends[nspans-1].
+extern "C" void tz_sha1_many(const u8* data, const u32* ends, size_t count,
+                             u8* out);
+
+long tzs_verify_block(void* hv, const u32* ends, size_t nspans,
+                      u8* digests_out) {
+  Stream& s = *(Stream*)hv;
+  try {
+    s.block_offset = s.in.tell();
+    if (!find_block(s, s.hdr)) { s.err = "no block"; return -1; }
+    Decoder dec;
+    PostProc pp;
+    Sink sink;
+    bool first = true;
+    std::string name, comment;
+    while (read_filename(s, name)) {
+      read_comment(s, comment);
+      dec.bin = &s.in;
+      if (first) {
+        dec.init_block(s.hdr);
+        pp.init(s.hdr.ph, s.hdr.pm, &sink);
+        first = false;
+      } else {
+        dec.init_segment();
+      }
+      if (!dec.pr.is_modeled()) {
+        int c;
+        while (pp.state != 1 && !(pp.state == 5 && pp.fast_kind != 0)
+               && (c = dec.decompress()) != -1)
+          pp.write(c);
+        if (pp.state == 1 || (pp.state == 5 && pp.fast_kind != 0)) {
+          std::vector<u8>& dst = pp.state == 1 ? sink.v : pp.fbuf;
+          u8 tmp[1 << 16];
+          for (;;) {
+            size_t got = dec.read_unmodeled(tmp, sizeof tmp);
+            if (got) dst.insert(dst.end(), tmp, tmp + got);
+            if (got < sizeof tmp) break;
+          }
+          pp.write(-1);
+        } else {
+          pp.write(-1);
+        }
+      } else {
+        for (;;) {
+          int c = dec.decompress();
+          pp.write(c);
+          if (c == -1) break;
+        }
+      }
+      int c = s.get();
+      if (c == 253) {
+        for (int i = 0; i < 20; ++i) s.get();
+      } else if (c != 254) {
+        throw format_error("missing end of segment marker");
+      }
+      name.clear(); comment.clear();
+    }
+    if (nspans && ends[nspans - 1] > sink.v.size()) return -2;
+    if (nspans) tz_sha1_many(sink.v.data(), ends, nspans, digests_out);
+    return (long)sink.v.size();
+  } catch (const std::exception& e) {
+    s.err = e.what();
+    return -1;
+  }
+}
+
 size_t tzs_seg_count(void* h) { return ((Stream*)h)->segs.size(); }
 const char* tzs_seg_filename(void* h, size_t i) {
   return ((Stream*)h)->segs[i].filename.c_str();
@@ -2501,10 +2573,39 @@ size_t tz_lz77p_decode(const u8* in, size_t n, int rb, u8* out, size_t cap) {
     }
     if (mm == 0) {                      // literal run of v bytes
       if (bitpos + size_t(v) * 8 > total) return w;
-      for (u32 j = 0; j < v; ++j) {
-        u8 c = u8(getb(8));
-        if (w < cap) out[w] = c;
-        ++w;
+      if (!out) {                       // sizing pass: skip the payload
+        size_t k = size_t(v) * 8;
+        bitpos += k;
+        if (size_t(nbits) >= k) {
+          acc >>= k;
+          nbits -= int(k);
+        } else {
+          k -= nbits;
+          acc = 0;
+          nbits = 0;
+          pos += k >> 3;
+          if (k & 7) {                  // partial byte: refill and shift
+            acc = u64(pos < n ? in[pos++] : 0) >> (k & 7);
+            nbits = 8 - int(k & 7);
+          }
+        }
+        w += v;
+      } else if (w + v <= cap) {        // common case: unchecked 4-at-a-time
+        u32 j = 0;
+        for (; j + 4 <= v; j += 4, w += 4) {
+          u32 x = getb(32);
+          out[w] = u8(x);
+          out[w + 1] = u8(x >> 8);
+          out[w + 2] = u8(x >> 16);
+          out[w + 3] = u8(x >> 24);
+        }
+        for (; j < v; ++j, ++w) out[w] = u8(getb(8));
+      } else {
+        for (u32 j = 0; j < v; ++j) {
+          u8 c = u8(getb(8));
+          if (w < cap) out[w] = c;
+          ++w;
+        }
       }
     } else {                            // match
       if (bitpos + 2 + rb + lo > total) return w;
@@ -2513,8 +2614,24 @@ size_t tz_lz77p_decode(const u8* in, size_t n, int rb, u8* out, size_t cap) {
       u32 q = (1u << lo) | (lo ? getb(lo) : 0);
       size_t off = ((size_t(q) << rb) | r) - ((size_t(1) << rb) - 1);
       if (off > w) return w;            // corrupt stream; stop
-      for (u32 j = 0; j < len; ++j, ++w)
-        if (w < cap) out[w] = w >= off ? out[w - off] : 0;
+      if (!out) {
+        w += len;
+      } else if (w + len <= cap) {
+        const u8* src = out + (w - off);
+        u8* dst = out + w;
+        w += len;
+        if (off >= 8) {                 // word copies (8 B may over-read
+          u32 j = 0;                    //  src but stays < dst: in-bounds)
+          for (; j + 8 <= len; j += 8)
+            memcpy(dst + j, src + j, 8);
+          for (; j < len; ++j) dst[j] = src[j];
+        } else {
+          for (u32 j = 0; j < len; ++j) dst[j] = src[j];
+        }
+      } else {
+        for (u32 j = 0; j < len; ++j, ++w)
+          if (w < cap) out[w] = w >= off ? out[w - off] : 0;
+      }
     }
   }
   return w;

@@ -218,7 +218,22 @@ def verify_archive(data, jd: Jidac, threads: int = 0,
     nfrag = 0
 
     def work(blk: Block) -> int:
-        _check_fragments(jd, blk, _decode_block(data, blk))
+        # fully-native decode+hash: one GIL-released call per block, no
+        # decoded bytes cross ctypes (the decode -> join -> hash round
+        # trip through Python cost two block-sized copies per block)
+        ends: List[int] = []
+        q = 0
+        for j in range(blk.start, blk.start + blk.frags):
+            q += jd.ht[j].usize
+            ends.append(q)
+        with data.stream() as s:
+            s.seek(blk.offset)
+            _, digests = s.verify_block(ends)
+        for k, j in enumerate(range(blk.start, blk.start + blk.frags)):
+            want = jd.ht[j].sha1
+            if want != b"\x00" * 20 \
+                    and digests[k * 20:(k + 1) * 20] != want:
+                raise ExtractError(f"fragment {j}: checksum failed")
         return blk.frags
 
     with concurrent.futures.ThreadPoolExecutor(max_workers=threads) as ex:

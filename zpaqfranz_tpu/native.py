@@ -93,6 +93,9 @@ def _load():
     lib.tzs_tell.restype = C.c_uint64
     lib.tzs_tell.argtypes = [C.c_void_p]
     lib.tzs_seek.argtypes = [C.c_void_p, C.c_uint64]
+    lib.tzs_verify_block.restype = C.c_long
+    lib.tzs_verify_block.argtypes = [C.c_void_p, C.POINTER(C.c_uint32),
+                                     C.c_size_t, C.c_char_p]
     lib.tzc_compress_block.restype = C.c_long
     lib.tzc_compress_block.argtypes = [
         C.c_char_p, C.c_size_t, C.c_char_p, C.c_size_t,
@@ -245,6 +248,22 @@ class NativeStream:
 
     def seek(self, pos: int) -> None:
         self._lib.tzs_seek(self._h, pos)
+
+    def verify_block(self, ends) -> Tuple[int, bytes]:
+        """Decode the block at the cursor and SHA-1 its output over
+        consecutive spans (span i ends at ends[i]) without the decoded
+        bytes ever crossing into Python — the 't' hot path.  Returns
+        (decoded_size, count*20 digest bytes); raises on decode error or
+        a short block."""
+        n = len(ends)
+        arr = (C.c_uint32 * max(n, 1))(*ends)
+        out = C.create_string_buffer(max(n, 1) * 20)
+        r = self._lib.tzs_verify_block(self._h, arr, n, out)
+        if r == -2:
+            raise NativeError("decoded block shorter than fragment table")
+        if r < 0:
+            raise NativeError(self._lib.tzs_error(self._h).decode())
+        return int(r), out.raw[: n * 20]
 
     def read_block(self) -> Optional[List[NativeSegment]]:
         """Decode the next block; None at end of archive."""
