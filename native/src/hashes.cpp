@@ -240,6 +240,172 @@ static void b3_parent(const u32 l[8], const u32 r[8], u32 flags, u32 out[8]) {
   b3_compress(B3_IV, m, 0, 64, B3_PARENT | flags, out);
 }
 
+#ifdef __AVX2__
+// 8 independent full chunks compressed in lockstep: each __m256i holds one
+// state word across the 8 chunks (lane-transposed).  The tree hash is
+// natively parallel at chunk granularity (SURVEY component 11); this is the
+// AVX2 equivalent of the reference's blake3 hash_many asm, written from the
+// BLAKE3 spec against the scalar path above (cross-checked in test_hashes).
+#include <immintrin.h>
+
+static inline __m256i b3v_rot16(__m256i x) {
+  const __m256i t = _mm256_setr_epi8(
+      2, 3, 0, 1, 6, 7, 4, 5, 10, 11, 8, 9, 14, 15, 12, 13,
+      2, 3, 0, 1, 6, 7, 4, 5, 10, 11, 8, 9, 14, 15, 12, 13);
+  return _mm256_shuffle_epi8(x, t);
+}
+static inline __m256i b3v_rot8(__m256i x) {
+  const __m256i t = _mm256_setr_epi8(
+      1, 2, 3, 0, 5, 6, 7, 4, 9, 10, 11, 8, 13, 14, 15, 12,
+      1, 2, 3, 0, 5, 6, 7, 4, 9, 10, 11, 8, 13, 14, 15, 12);
+  return _mm256_shuffle_epi8(x, t);
+}
+static inline __m256i b3v_rot12(__m256i x) {
+  return _mm256_or_si256(_mm256_srli_epi32(x, 12), _mm256_slli_epi32(x, 20));
+}
+static inline __m256i b3v_rot7(__m256i x) {
+  return _mm256_or_si256(_mm256_srli_epi32(x, 7), _mm256_slli_epi32(x, 25));
+}
+
+#define B3V_G(a, b, c, d, mx, my)                         \
+  do {                                                    \
+    va = _mm256_add_epi32(_mm256_add_epi32(va, vb), mx);  \
+    vd = b3v_rot16(_mm256_xor_si256(vd, va));             \
+    vc = _mm256_add_epi32(vc, vd);                        \
+    vb = b3v_rot12(_mm256_xor_si256(vb, vc));             \
+    va = _mm256_add_epi32(_mm256_add_epi32(va, vb), my);  \
+    vd = b3v_rot8(_mm256_xor_si256(vd, va));              \
+    vc = _mm256_add_epi32(vc, vd);                        \
+    vb = b3v_rot7(_mm256_xor_si256(vb, vc));              \
+  } while (0)
+
+// transpose 8 rows of 8 u32 (row L = 32 bytes at src + L*stride) into
+// out[0..7], out[w] = word w across the 8 rows
+static inline void b3v_transpose8(const u8* src, size_t stride,
+                                  __m256i out[8]) {
+  __m256i r0 = _mm256_loadu_si256((const __m256i*)(src + 0 * stride));
+  __m256i r1 = _mm256_loadu_si256((const __m256i*)(src + 1 * stride));
+  __m256i r2 = _mm256_loadu_si256((const __m256i*)(src + 2 * stride));
+  __m256i r3 = _mm256_loadu_si256((const __m256i*)(src + 3 * stride));
+  __m256i r4 = _mm256_loadu_si256((const __m256i*)(src + 4 * stride));
+  __m256i r5 = _mm256_loadu_si256((const __m256i*)(src + 5 * stride));
+  __m256i r6 = _mm256_loadu_si256((const __m256i*)(src + 6 * stride));
+  __m256i r7 = _mm256_loadu_si256((const __m256i*)(src + 7 * stride));
+  __m256i t0 = _mm256_unpacklo_epi32(r0, r1);
+  __m256i t1 = _mm256_unpackhi_epi32(r0, r1);
+  __m256i t2 = _mm256_unpacklo_epi32(r2, r3);
+  __m256i t3 = _mm256_unpackhi_epi32(r2, r3);
+  __m256i t4 = _mm256_unpacklo_epi32(r4, r5);
+  __m256i t5 = _mm256_unpackhi_epi32(r4, r5);
+  __m256i t6 = _mm256_unpacklo_epi32(r6, r7);
+  __m256i t7 = _mm256_unpackhi_epi32(r6, r7);
+  __m256i u0 = _mm256_unpacklo_epi64(t0, t2);
+  __m256i u1 = _mm256_unpackhi_epi64(t0, t2);
+  __m256i u2 = _mm256_unpacklo_epi64(t1, t3);
+  __m256i u3 = _mm256_unpackhi_epi64(t1, t3);
+  __m256i u4 = _mm256_unpacklo_epi64(t4, t6);
+  __m256i u5 = _mm256_unpackhi_epi64(t4, t6);
+  __m256i u6 = _mm256_unpacklo_epi64(t5, t7);
+  __m256i u7 = _mm256_unpackhi_epi64(t5, t7);
+  out[0] = _mm256_permute2x128_si256(u0, u4, 0x20);
+  out[1] = _mm256_permute2x128_si256(u1, u5, 0x20);
+  out[2] = _mm256_permute2x128_si256(u2, u6, 0x20);
+  out[3] = _mm256_permute2x128_si256(u3, u7, 0x20);
+  out[4] = _mm256_permute2x128_si256(u0, u4, 0x31);
+  out[5] = _mm256_permute2x128_si256(u1, u5, 0x31);
+  out[6] = _mm256_permute2x128_si256(u2, u6, 0x31);
+  out[7] = _mm256_permute2x128_si256(u3, u7, 0x31);
+}
+
+// 8 consecutive FULL 1024-byte chunks -> 8 chaining values
+static void b3_chunks8_avx2(const u8* p, u64 first, u32 cvs[8][8]) {
+  __m256i cv[8];
+  for (int i = 0; i < 8; ++i) cv[i] = _mm256_set1_epi32((int)B3_IV[i]);
+  __m256i t0 = _mm256_setr_epi32(
+      (int)(u32)(first + 0), (int)(u32)(first + 1), (int)(u32)(first + 2),
+      (int)(u32)(first + 3), (int)(u32)(first + 4), (int)(u32)(first + 5),
+      (int)(u32)(first + 6), (int)(u32)(first + 7));
+  __m256i t1 = _mm256_setr_epi32(
+      (int)(u32)((first + 0) >> 32), (int)(u32)((first + 1) >> 32),
+      (int)(u32)((first + 2) >> 32), (int)(u32)((first + 3) >> 32),
+      (int)(u32)((first + 4) >> 32), (int)(u32)((first + 5) >> 32),
+      (int)(u32)((first + 6) >> 32), (int)(u32)((first + 7) >> 32));
+  for (int b = 0; b < 16; ++b) {
+    __m256i m[16];
+    b3v_transpose8(p + b * 64, 1024, m);
+    b3v_transpose8(p + b * 64 + 32, 1024, m + 8);
+    u32 flags = (b == 0 ? B3_CHUNK_START : 0)
+                | (b == 15 ? B3_CHUNK_END : 0);
+    __m256i s[16];
+    for (int i = 0; i < 8; ++i) s[i] = cv[i];
+    s[8] = _mm256_set1_epi32((int)B3_IV[0]);
+    s[9] = _mm256_set1_epi32((int)B3_IV[1]);
+    s[10] = _mm256_set1_epi32((int)B3_IV[2]);
+    s[11] = _mm256_set1_epi32((int)B3_IV[3]);
+    s[12] = t0;
+    s[13] = t1;
+    s[14] = _mm256_set1_epi32(64);
+    s[15] = _mm256_set1_epi32((int)flags);
+    int sched[16];
+    for (int i = 0; i < 16; ++i) sched[i] = i;
+    for (int round = 0; round < 7; ++round) {
+      {
+        __m256i va = s[0], vb = s[4], vc = s[8], vd = s[12];
+        B3V_G(0, 4, 8, 12, m[sched[0]], m[sched[1]]);
+        s[0] = va; s[4] = vb; s[8] = vc; s[12] = vd;
+      }
+      {
+        __m256i va = s[1], vb = s[5], vc = s[9], vd = s[13];
+        B3V_G(1, 5, 9, 13, m[sched[2]], m[sched[3]]);
+        s[1] = va; s[5] = vb; s[9] = vc; s[13] = vd;
+      }
+      {
+        __m256i va = s[2], vb = s[6], vc = s[10], vd = s[14];
+        B3V_G(2, 6, 10, 14, m[sched[4]], m[sched[5]]);
+        s[2] = va; s[6] = vb; s[10] = vc; s[14] = vd;
+      }
+      {
+        __m256i va = s[3], vb = s[7], vc = s[11], vd = s[15];
+        B3V_G(3, 7, 11, 15, m[sched[6]], m[sched[7]]);
+        s[3] = va; s[7] = vb; s[11] = vc; s[15] = vd;
+      }
+      {
+        __m256i va = s[0], vb = s[5], vc = s[10], vd = s[15];
+        B3V_G(0, 5, 10, 15, m[sched[8]], m[sched[9]]);
+        s[0] = va; s[5] = vb; s[10] = vc; s[15] = vd;
+      }
+      {
+        __m256i va = s[1], vb = s[6], vc = s[11], vd = s[12];
+        B3V_G(1, 6, 11, 12, m[sched[10]], m[sched[11]]);
+        s[1] = va; s[6] = vb; s[11] = vc; s[12] = vd;
+      }
+      {
+        __m256i va = s[2], vb = s[7], vc = s[8], vd = s[13];
+        B3V_G(2, 7, 8, 13, m[sched[12]], m[sched[13]]);
+        s[2] = va; s[7] = vb; s[8] = vc; s[13] = vd;
+      }
+      {
+        __m256i va = s[3], vb = s[4], vc = s[9], vd = s[14];
+        B3V_G(3, 4, 9, 14, m[sched[14]], m[sched[15]]);
+        s[3] = va; s[4] = vb; s[9] = vc; s[14] = vd;
+      }
+      if (round < 6) {
+        int ns[16];
+        for (int i = 0; i < 16; ++i) ns[i] = sched[B3_PERM[i]];
+        memcpy(sched, ns, sizeof(sched));
+      }
+    }
+    for (int i = 0; i < 8; ++i)
+      cv[i] = _mm256_xor_si256(s[i], s[i + 8]);
+  }
+  u32 tmp[8][8];
+  for (int i = 0; i < 8; ++i)
+    _mm256_storeu_si256((__m256i*)tmp[i], cv[i]);
+  for (int lane = 0; lane < 8; ++lane)
+    for (int w = 0; w < 8; ++w) cvs[lane][w] = tmp[w][lane];
+}
+#endif  // __AVX2__
+
 extern "C" void tz_blake3(const u8* data, size_t n, u8* out32) {
   u32 cv[8];
   if (n <= 1024) {
@@ -251,21 +417,36 @@ extern "C" void tz_blake3(const u8* data, size_t n, u8* out32) {
     u32 stack[54][8];
     int sp = 0;
     u64 nchunks = (n + 1023) / 1024;
-    for (u64 c = 0; c < nchunks; ++c) {
+
+    // push one non-final chunk CV (merge on chunk-count trailing zeros)
+    auto push_cv = [&](u32 ccv[8], u64 c) {
+      u64 total = c + 1;
+      while ((total & 1) == 0) {
+        u32 merged[8];
+        b3_parent(stack[sp - 1], ccv, 0, merged);
+        memcpy(ccv, merged, 32);
+        --sp;
+        total >>= 1;
+      }
+      memcpy(stack[sp++], ccv, 32);
+    };
+
+    u64 c = 0;
+#ifdef __AVX2__
+    while (c + 8 < nchunks) {           // 8 full chunks, none of them final
+      u32 cvs[8][8];
+      b3_chunks8_avx2(data + (size_t)c * 1024, c, cvs);
+      for (int k = 0; k < 8; ++k) push_cv(cvs[k], c + k);
+      c += 8;
+    }
+#endif
+    for (; c < nchunks; ++c) {
       size_t off = (size_t)c * 1024;
       size_t len = (n - off < 1024) ? n - off : 1024;
       u32 ccv[8];
       b3_chunk_cv(data + off, len, c, 0, ccv);
       if (c + 1 < nchunks) {
-        u64 total = c + 1;
-        while ((total & 1) == 0) {
-          u32 merged[8];
-          b3_parent(stack[sp - 1], ccv, 0, merged);
-          memcpy(ccv, merged, 32);
-          --sp;
-          total >>= 1;
-        }
-        memcpy(stack[sp++], ccv, 32);
+        push_cv(ccv, c);
       } else {
         while (sp > 0) {
           u32 flags = (sp == 1) ? B3_ROOT : 0;

@@ -51,6 +51,15 @@ def test_blake3_official_vectors():
         "2d3adedff11b61f14c886e35afa036736dcd87a74d27b5c1510225d0f592e213")
 
 
+def test_blake3_official_vectors_long():
+    # BLAKE3 repo test_vectors.json lengths that exercise the 8-way SIMD
+    # chunk path (31 and 100 chunks; >9 chunks activates b3_chunks8_avx2)
+    assert n.blake3(bytes(i % 251 for i in range(31744))).hex() == (
+        "62b6960e1a44bcc1eb1a611a8d6235b6b4b78f32e7abc4fb4c6cdcce94895c47")
+    assert n.blake3(bytes(i % 251 for i in range(102400))).hex() == (
+        "bc3e3d41a1146b069abffad3c0d44860cf664390afce4d9661f7902e7943e085")
+
+
 def test_blake3_tree_shapes():
     # chunk-boundary shapes exercise the CV-stack merge (1, 2, 3, 4, 5 chunks
     # plus ragged tails); results must be stable and length-sensitive
