@@ -148,3 +148,14 @@ def test_sync_reports_changes(tree, capsys):
 def test_sfx_and_zfs_are_explicit_gaps(tree, capsys):
     assert main(["sfx", "arc"]) == 2
     assert main(["zfslist", "tank"]) == 2
+
+
+def test_autotest_all_quick(tree, capsys):
+    """The extended self-test (autotest -all): expected-failure cases
+    (corrupt d block, garbage input, wrong password) must be DETECTED and
+    the round-trips must pass; -quick skips the 256-file golden extract."""
+    assert main(["autotest", "-quick", "-all"]) == 0
+    out = capsys.readouterr().out
+    assert "autotest: PASS" in out
+    assert out.count("expected-failure=detected") == 3
+    assert "|STAT| autotest op=extract-streaming" in out

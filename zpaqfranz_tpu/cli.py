@@ -472,8 +472,133 @@ def cmd_autotest(archive, files, sw) -> int:
                 print(f"level {lvl}: OK ({arc.stat().st_size:,} bytes)")
         finally:
             _os.chdir(cwd)
+        if "all" in sw:
+            errors += _autotest_all(td, src)
     print(f"autotest: {'PASS' if errors == 0 else f'{errors} ERRORS'}")
     return 2 if errors else 0
+
+
+def _autotest_all(td: str, src: pathlib.Path) -> int:
+    """Extended self-test (the reference's `autotest -all`,
+    CHANGELOG.md:693-697): expected-FAILURE cases — corruption, wrong
+    password, garbage input must be *detected*, not crash or silently pass
+    — plus per-operation timing (CHANGELOG.md:107-109 times operations).
+    Returns the error count; prints |STAT| timing lines."""
+    import io
+    import os as _os
+    import time as _t
+    from contextlib import redirect_stdout, redirect_stderr
+    from .jidac.add import add
+    from .jidac.extract import extract, verify_archive, ExtractError
+    from .jidac.index import read_archive
+    from .codec.container import FormatError
+    from . import native
+
+    errors = 0
+
+    def expect_fail(name, fn):
+        nonlocal errors
+        t0 = _t.perf_counter()
+        buf = io.StringIO()
+        try:
+            with redirect_stdout(buf), redirect_stderr(buf):
+                fn()
+        except (FormatError, ExtractError, native.NativeError, ValueError,
+                RuntimeError):
+            print(f"|STAT| autotest op={name} s={_t.perf_counter()-t0:.3f} "
+                  f"expected-failure=detected")
+            return
+        print(f"autotest: {name} should have FAILED but passed")
+        errors += 1
+
+    def timed(name, fn):
+        nonlocal errors
+        t0 = _t.perf_counter()
+        try:
+            fn()
+            print(f"|STAT| autotest op={name} "
+                  f"s={_t.perf_counter()-t0:.3f} ok=1")
+        except Exception as e:              # noqa: BLE001 — report, count
+            print(f"autotest: {name} FAILED: {type(e).__name__}: {e}")
+            errors += 1
+
+    cwd = _os.getcwd()
+    _os.chdir(td)
+    try:
+        arc = pathlib.Path(td, "all.zpaq")
+        timed("add-m2", lambda: add(str(arc), ["src"], method="2"))
+        data = bytearray(arc.read_bytes())
+
+        # corruption inside the d block must fail the integrity test
+        def verify_corrupt():
+            bad = bytes(data[: len(data) // 2]) \
+                + bytes([data[len(data) // 2] ^ 0x41]) \
+                + bytes(data[len(data) // 2 + 1:])
+            jd = read_archive(bad)
+            verify_archive(bad, jd)
+        expect_fail("verify-corrupt-dblock", verify_corrupt)
+
+        # garbage input is not an archive: the CLI open path rejects it by
+        # magic; the tolerant block scanner sees an empty index (both are
+        # reference behaviors — zsfx.cpp:1323-1332 magic check vs the
+        # error-isolated block scan)
+        def open_garbage():
+            from .jidac.archive_io import ArchiveSource
+            junk = pathlib.Path(td, "junk.zpaq")
+            junk.write_bytes(b"\x00\xffnot-zpaq" * 400)
+            ArchiveSource.from_spec(str(junk))
+        expect_fail("open-garbage", open_garbage)
+
+        def scan_garbage():
+            jd = read_archive(b"\x00\xffnot-zpaq" * 400)
+            if jd.block or jd.dt:
+                raise RuntimeError("garbage scanned as non-empty archive")
+        timed("scan-garbage-empty", scan_garbage)
+
+        # encrypted round-trip, then the wrong password must be rejected
+        enc = pathlib.Path(td, "enc.zpaq")
+        timed("add-encrypted",
+              lambda: add(str(enc), ["src"], method="1", key="pw-ok"))
+
+        def wrong_pw():
+            from .jidac.archive_io import ArchiveSource
+            from .jidac.index import read_archive_src
+            src_ = ArchiveSource.from_spec(str(enc), key="pw-BAD")
+            read_archive_src(src_)
+        expect_fail("wrong-password", wrong_pw)
+
+        def right_pw():
+            from .jidac.archive_io import ArchiveSource
+            from .jidac.index import read_archive_src
+            src_ = ArchiveSource.from_spec(str(enc), key="pw-ok")
+            jd = read_archive_src(src_)
+            extract(src_, jd, str(pathlib.Path(td, "enc_out")))
+        timed("extract-encrypted", right_pw)
+
+        # truncation: the incomplete trailing transaction is ignored
+        def truncated():
+            half = bytes(data[: len(data) // 2])
+            jd = read_archive(half)
+            if jd.block:
+                verify_archive(half, jd)
+        timed("read-truncated-trims", truncated)
+
+        # streaming-format round-trip
+        sarc = pathlib.Path(td, "s.zpaq")
+        timed("add-streaming", lambda: add(str(sarc), ["src"], method="s4.0"))
+
+        def s_roundtrip():
+            d = sarc.read_bytes()
+            jd = read_archive(d)
+            extract(d, jd, str(pathlib.Path(td, "s_out")))
+            for p in src.iterdir():
+                got = pathlib.Path(td, "s_out", "src", p.name).read_bytes()
+                if got != p.read_bytes():
+                    raise RuntimeError(f"streaming mismatch: {p.name}")
+        timed("extract-streaming", s_roundtrip)
+    finally:
+        _os.chdir(cwd)
+    return errors
 
 
 def cmd_bench(archive, files, sw) -> int:
