@@ -829,14 +829,18 @@ class ArenaCoder:
 # ---------------------------------------------------------------------------
 class ArenaDecoder:
     """Drop-in replacement for coder_batched.BatchedDecoder (same decode()
-    signature) built on the arena engine."""
+    signature) built on the arena engine.
+
+    ``init_state(data)`` + ``run(st, data, steps)`` expose a CHUNKED
+    interface: the caller can jit ``run`` once with a bounded step count
+    and loop, keeping each device program short (the tunneled chip kills
+    long-running programs) and early-stopping once every lane passed EOS."""
 
     def __init__(self, model: Model, max_hcomp_steps: Optional[int] = None,
                  unroll: bool = False):
         self.core = ArenaCoder(model, max_hcomp_steps, unroll=unroll)
 
-    def decode(self, data: jax.Array, max_bytes: int
-               ) -> Tuple[jax.Array, jax.Array, Dict]:
+    def init_state(self, data: jax.Array) -> Dict:
         core = self.core
         L = data.shape[0]
         st = core.init_state(L)
@@ -850,6 +854,14 @@ class ArenaDecoder:
                              jnp.full(L, 0xFFFFFFFF, U32), curr, pos)
         st["active"] = jnp.ones(L, bool)
         st["len"] = jnp.zeros(L, I32)
+        return st
+
+    def run(self, st: Dict, data: jax.Array, steps: int
+            ) -> Tuple[Dict, jax.Array]:
+        """Decode up to ``steps`` more bytes per lane; returns
+        (state, outs (L, steps) u8)."""
+        core = self.core
+        L = data.shape[0]
 
         def step(st, _):
             st = dict(st)
@@ -890,12 +902,19 @@ class ArenaDecoder:
             st2["len"] = st["len"] + live.astype(I32)
             return st2, byte.astype(U8)
 
-        st, outs = jax.lax.scan(step, st, None, length=max_bytes)
-        return outs.T, st["len"], st
+        st, outs = jax.lax.scan(step, dict(st), None, length=steps)
+        return st, outs.T
+
+    def decode(self, data: jax.Array, max_bytes: int
+               ) -> Tuple[jax.Array, jax.Array, Dict]:
+        st = self.init_state(data)
+        st, outs = self.run(st, data, max_bytes)
+        return outs, st["len"], st
 
 
 class ArenaEncoder:
-    """Drop-in replacement for coder_batched.BatchedEncoder."""
+    """Drop-in replacement for coder_batched.BatchedEncoder, with the same
+    chunked init/run interface as ArenaDecoder."""
 
     def __init__(self, model: Model, out_cap: int,
                  max_hcomp_steps: Optional[int] = None,
@@ -903,12 +922,20 @@ class ArenaEncoder:
         self.core = ArenaCoder(model, max_hcomp_steps, unroll=unroll)
         self.out_cap = out_cap
 
-    def encode(self, data: jax.Array, lengths: jax.Array) -> Dict:
-        core = self.core
-        L = data.shape[0]
-        st = core.init_state(L)
+    def init_state(self, L: int) -> Dict:
+        st = self.core.init_state(L)
+        st["low"] = jnp.ones(L, U32)
+        st["high"] = jnp.full(L, 0xFFFFFFFF, U32)
         st["out"] = jnp.zeros((L, self.out_cap), U8)
         st["cnt"] = jnp.zeros(L, I32)
+        return st
+
+    def run(self, st: Dict, data: jax.Array, lengths: jax.Array,
+            j0, steps: int) -> Dict:
+        """Encode byte positions [j0, j0+steps) of every lane; ``j0`` may
+        be a traced scalar (one compiled chunk serves every offset)."""
+        core = self.core
+        L = data.shape[0]
         EW = 40
 
         def emit(cst, bv, go):
@@ -970,8 +997,11 @@ class ArenaEncoder:
             st2["cnt"] = st["cnt"] + cst["ecnt"]
             return st2, None
 
-        st["low"] = jnp.ones(L, U32)
-        st["high"] = jnp.full(L, 0xFFFFFFFF, U32)
-        st, _ = jax.lax.scan(step, st, jnp.arange(data.shape[1] + 1,
-                                                  dtype=I32))
+        st, _ = jax.lax.scan(
+            step, dict(st),
+            jnp.arange(steps, dtype=I32) + jnp.asarray(j0, I32))
         return st
+
+    def encode(self, data: jax.Array, lengths: jax.Array) -> Dict:
+        st = self.init_state(data.shape[0])
+        return self.run(st, data, lengths, 0, data.shape[1] + 1)

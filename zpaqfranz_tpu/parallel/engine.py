@@ -18,6 +18,7 @@ lane/length bucketing keeps cache hits high across uneven block sizes.
 from __future__ import annotations
 
 import math
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -65,6 +66,20 @@ def _model_lane_bytes(model: Model, maxlen: int, max_out: int) -> int:
 _DEVICE_BUDGET = 12 << 30   # leave headroom on a 16 GB chip
 
 
+def _chunk_steps(total: int) -> int:
+    """Scan steps per device program.  Long-running XLA programs get killed
+    by the tunneled chip's watchdog (~minutes), and chunking enables
+    early-stop once every decode lane passed EOS; on CPU (tests, virtual
+    mesh) whole-scan keeps the call count down."""
+    import jax
+    env = os.environ.get("ZPAQFRANZ_DEVICE_CHUNK")
+    if env:
+        return max(64, int(env))
+    if jax.default_backend() == "tpu":
+        return min(total, 512)
+    return total
+
+
 class DeviceCoder:
     """Lazy per-model jitted decode/encode entry points."""
 
@@ -102,21 +117,43 @@ class DeviceCoder:
             data = np.zeros((L, maxlen), np.uint8)
             for i, s in enumerate(sub):
                 data[i, : len(s)] = np.frombuffer(s, np.uint8)
-            key = (model.header_bytes(), L, maxlen, max_out, _engine_name())
+            chunk = _chunk_steps(max_out)
+            key = (model.header_bytes(), L, maxlen, chunk, _engine_name())
             fn = self._decode_cache.get(key)
             if fn is None:
                 if _engine_name() == "batched":
                     from ..ops.coder_batched import BatchedDecoder
                     dec = BatchedDecoder(model)
-                    fn = jax.jit(lambda d: dec.decode(d, max_out)[:2])
+                    fn = ("whole", jax.jit(
+                        lambda d, n=max_out: dec.decode(d, n)[:2]))
                 else:
                     from ..ops.codec_arena import ArenaDecoder
                     dec = ArenaDecoder(model)
-                    fn = jax.jit(lambda d: dec.decode(d, max_out)[:2])
+                    fn = ("chunked",
+                          jax.jit(dec.init_state),
+                          jax.jit(lambda st, d: dec.run(st, d, chunk)))
                 self._decode_cache[key] = fn
-            out, lengths = fn(jnp.asarray(data))
-            out = np.asarray(out)
-            lengths = np.asarray(lengths)
+            dj = jnp.asarray(data)
+            if fn[0] == "whole":
+                out, lengths = fn[1](dj)
+                out = np.asarray(out)
+                lengths = np.asarray(lengths)
+            else:
+                # chunked scan: each device program stays short (the
+                # tunneled chip kills long-running programs) and the loop
+                # early-stops once every lane decoded its EOS
+                _, init_fn, run_fn = fn
+                st = init_fn(dj)
+                pieces = []
+                done = 0
+                while done < max_out:
+                    st, outs = run_fn(st, dj)
+                    pieces.append(np.asarray(outs))
+                    done += chunk
+                    if not np.asarray(st["active"]).any():
+                        break
+                out = np.concatenate(pieces, axis=1)
+                lengths = np.asarray(st["len"])
             result.extend(bytes(out[i, : int(lengths[i])])
                           for i in range(len(sub)))
         return result
@@ -141,23 +178,37 @@ class DeviceCoder:
             for i, p in enumerate(sub):
                 data[i, : len(p)] = np.frombuffer(p, np.uint8)
                 lengths[i] = len(p)
-            key = (model.header_bytes(), L, maxlen, _engine_name())
+            chunk = _chunk_steps(maxlen + 1)
+            key = (model.header_bytes(), L, maxlen, chunk, _engine_name())
             fn = self._encode_cache.get(key)
             if fn is None:
                 if _engine_name() == "batched":
                     from ..ops.coder_batched import BatchedEncoder
                     enc = BatchedEncoder(model, out_cap=cap)
-                    fn = jax.jit(lambda d, n: (
+                    fn = ("whole", jax.jit(lambda d, n: (
                         lambda st: (st["enc"].out, st["enc"].cnt)
-                    )(enc.encode(d, n)))
+                    )(enc.encode(d, n))))
                 else:
                     from ..ops.codec_arena import ArenaEncoder
                     enc = ArenaEncoder(model, out_cap=cap)
-                    fn = jax.jit(lambda d, n: (
-                        lambda st: (st["out"], st["cnt"])
-                    )(enc.encode(d, n)))
+                    fn = ("chunked",
+                          jax.jit(lambda d: enc.init_state(d.shape[0])),
+                          jax.jit(lambda st, d, n, j0: enc.run(
+                              st, d, n, j0, chunk)))
                 self._encode_cache[key] = fn
-            out, cnt = fn(jnp.asarray(data), jnp.asarray(lengths))
+            dj = jnp.asarray(data)
+            nj = jnp.asarray(lengths)
+            if fn[0] == "whole":
+                out, cnt = fn[1](dj, nj)
+            else:
+                _, init_fn, run_fn = fn
+                st = init_fn(dj)
+                maxn = int(lengths.max())
+                for j0 in range(0, maxlen + 1, chunk):
+                    if j0 > maxn:
+                        break
+                    st = run_fn(st, dj, nj, jnp.int32(j0))
+                out, cnt = st["out"], st["cnt"]
             out = np.asarray(out)
             cnt = np.asarray(cnt)
             result.extend(bytes(out[i, : cnt[i]]) for i in range(len(sub)))
