@@ -9,6 +9,7 @@
 #include "tzpaq.h"
 
 #include <algorithm>
+#include <utility>
 #include <mutex>
 #include <cassert>
 #include <cstdlib>
@@ -380,6 +381,8 @@ size_t Header::parse(const u8* data, size_t lenav) {
 // ---- Predictor (libzpaq.cpp:1715-2080) ------------------------------------
 enum { NONE, CONS, CM, ICM, MATCH, AVG, MIX2, MIX, ISSE, SSE };
 
+static void select_chain(Predictor& pr);   // defined after the chain templates
+
 void Predictor::init(const Header& hd) {
   if (!g_tab.ready) throw format_error("tables not installed");
   hdr = hd;
@@ -454,6 +457,12 @@ void Predictor::init(const Header& hd) {
     cr.cmmask = cr.cm.empty() ? 0 : u32(cr.cm.size() - 1);
     cr.htmask = cr.ht.empty() ? 0 : u32(cr.ht.size() - 1);
   }
+  // select a specialized chain when the type sequence matches a standard
+  // level (declared below; C++ name lookup for the function-pointer
+  // assignment only needs the declaration)
+  pred_fn = nullptr;
+  upd_fn = nullptr;
+  select_chain(*this);
 }
 
 size_t Predictor::find(std::vector<u8>& ht, int sizebits, u32 cxt) {
@@ -474,7 +483,7 @@ size_t Predictor::find(std::vector<u8>& ht, int sizebits, u32 cxt) {
   return hx;
 }
 
-int Predictor::predict() {
+int Predictor::predict_generic() {
   int n = hdr.n();
   for (int i = 0; i < n; ++i) {
     Comp& cr = comp[i];
@@ -554,7 +563,7 @@ void Predictor::train(Comp& cr, int y) {
   slot = pn;
 }
 
-void Predictor::update(int y) {
+void Predictor::update_generic(int y) {
   int n = hdr.n();
   for (int i = 0; i < n; ++i) {
     Comp& cr = comp[i];
@@ -615,6 +624,11 @@ void Predictor::update(int y) {
       default: break;
     }
   }
+  update_tail(y);
+}
+
+void Predictor::update_tail(int y) {
+  int n = hdr.n();
   c8 += c8 + y;
   if (c8 >= 256) {
     z.run(u32(c8 - 256));
@@ -625,6 +639,277 @@ void Predictor::update(int y) {
     hmap4 = (hmap4 & 0xf) << 5 | (y << 4) | 1;
   } else {
     hmap4 = (hmap4 & 0x1f0) | (((hmap4 & 0xf) * 2 + y) & 0xf);
+  }
+}
+
+// ---- specialized component chains -----------------------------------------
+// Portable analog of the reference's predictor JIT (assemble_p,
+// libzpaq.cpp:3489-4263): the three standard level chains (-m3/-m4/-m5 at
+// any block size — the type sequence is block-size-invariant) are
+// instantiated as templates so the compiler unrolls the component walk and
+// inlines every case body; per-bit there is no switch, no loop counter
+// test, and cross-component scheduling is visible to the optimizer.
+// Exotic configs (ZPAQL .cfg methods) keep the generic loop.
+
+namespace {
+
+template <int T>
+inline void predict_one(Predictor& pr, Comp& cr, int i);
+
+template <>
+inline void predict_one<CONS>(Predictor&, Comp&, int) {}
+
+template <>
+inline void predict_one<CM>(Predictor& pr, Comp& cr, int i) {
+  cr.cxt = (pr.h[i] ^ u32(pr.hmap4)) & cr.cmmask;
+  pr.p[i] = stretch(int(cr.cm[cr.cxt] >> 17));
+}
+
+template <>
+inline void predict_one<ICM>(Predictor& pr, Comp& cr, int i) {
+  if (pr.c8 == 1 || (pr.c8 & 0xf0) == 16)
+    cr.c = pr.find(cr.ht, cr.p1 + 2, pr.h[i] + 16 * u32(pr.c8));
+  cr.cxt = cr.ht[cr.c + (pr.hmap4 & 15)];
+  pr.p[i] = stretch(int(cr.cm[cr.cxt]) >> 8);
+}
+
+template <>
+inline void predict_one<MATCH>(Predictor& pr, Comp& cr, int i) {
+  if (cr.a == 0) pr.p[i] = 0;
+  else {
+    cr.c = (cr.ht[(cr.limit - cr.b) & cr.htmask] >> (7 - cr.cxt)) & 1;
+    pr.p[i] = stretch((g_tab.dt2k[cr.a] * (int(cr.c) * -2 + 1)) & 32767);
+  }
+}
+
+template <>
+inline void predict_one<AVG>(Predictor& pr, Comp& cr, int i) {
+  pr.p[i] = (pr.p[cr.p1] * cr.p3 + pr.p[cr.p2] * (256 - cr.p3)) >> 8;
+}
+
+template <>
+inline void predict_one<MIX2>(Predictor& pr, Comp& cr, int i) {
+  cr.cxt = (pr.h[i] + (pr.c8 & cr.p5)) & (cr.c - 1);
+  int w = cr.a16[cr.cxt];
+  pr.p[i] = (w * pr.p[cr.p2] + (65536 - w) * pr.p[cr.p3]) >> 16;
+}
+
+// MIX is encoded in chain type lists as MIX | (m << 8): the input count m
+// becomes a compile-time constant so the per-bit dot product fully unrolls
+// (and vectorizes) instead of looping on a runtime count
+template <int T>
+inline void predict_one_mix(Predictor& pr, Comp& cr, int i) {
+  constexpr int mm = T >> 8;
+  cr.cxt = ((pr.h[i] + (pr.c8 & cr.p5)) & (cr.c - 1)) * mm;
+  const i32* wt = (const i32*)&cr.cm[cr.cxt];
+  int sum = 0;
+  for (int j = 0; j < mm; ++j) sum += (wt[j] >> 8) * pr.p[cr.p2 + j];
+  pr.p[i] = clamp2k(sum >> 8);
+}
+
+template <>
+inline void predict_one<ISSE>(Predictor& pr, Comp& cr, int i) {
+  if (pr.c8 == 1 || (pr.c8 & 0xf0) == 16)
+    cr.c = pr.find(cr.ht, cr.p1 + 2, pr.h[i] + 16 * u32(pr.c8));
+  cr.cxt = cr.ht[cr.c + (pr.hmap4 & 15)];
+  const i32* wt = (const i32*)&cr.cm[cr.cxt * 2];
+  pr.p[i] = clamp2k((wt[0] * pr.p[cr.p2] + wt[1] * 64) >> 16);
+}
+
+template <>
+inline void predict_one<SSE>(Predictor& pr, Comp& cr, int i) {
+  cr.cxt = (pr.h[i] + u32(pr.c8)) * 32;
+  int pq = pr.p[cr.p2] + 992;
+  if (pq < 0) pq = 0;
+  if (pq > 1983) pq = 1983;
+  int wt = pq & 63;
+  pq >>= 6;
+  cr.cxt += u32(pq);
+  pr.p[i] = stretch(((int(cr.cm[cr.cxt & cr.cmmask] >> 10) * (64 - wt) +
+                      int(cr.cm[(cr.cxt + 1) & cr.cmmask] >> 10) * wt)
+                     >> 13));
+  cr.cxt += u32(wt >> 5);
+}
+
+template <int T>
+inline void update_one(Predictor& pr, Comp& cr, int i, int y);
+
+template <>
+inline void update_one<CONS>(Predictor&, Comp&, int, int) {}
+
+template <>
+inline void update_one<AVG>(Predictor&, Comp&, int, int) {}
+
+template <>
+inline void update_one<CM>(Predictor& pr, Comp& cr, int, int y) {
+  pr.train(cr, y);
+}
+
+template <>
+inline void update_one<ICM>(Predictor& pr, Comp& cr, int, int y) {
+  size_t idx = cr.c + (pr.hmap4 & 15);
+  cr.ht[idx] = g_tab.sns[cr.ht[idx] * 4 + y];
+  u32& pn = cr.cm[cr.cxt];
+  pn += u32((y * 32767 - int(pn >> 8)) >> 2);
+}
+
+template <>
+inline void update_one<MATCH>(Predictor& pr, Comp& cr, int i, int y) {
+  size_t mask = cr.htmask;
+  if (int(cr.c) != y) cr.a = 0;
+  cr.ht[cr.limit & mask] = u8(cr.ht[cr.limit & mask] * 2 + y);
+  if (++cr.cxt == 8) {
+    cr.cxt = 0;
+    cr.limit = (cr.limit + 1) & mask;
+    if (cr.a == 0) {
+      cr.b = (cr.limit - cr.cm[pr.h[i] & cr.cmmask]);
+      if (cr.b & mask)
+        while (cr.a < 255 &&
+               cr.ht[(cr.limit - cr.a - 1) & mask] ==
+                   cr.ht[(cr.limit - cr.a - cr.b - 1) & mask])
+          ++cr.a;
+    } else if (cr.a < 255) ++cr.a;
+    cr.cm[pr.h[i] & cr.cmmask] = u32(cr.limit);
+  }
+}
+
+template <>
+inline void update_one<MIX2>(Predictor& pr, Comp& cr, int i, int y) {
+  int err = ((y * 32767 - squash(pr.p[i])) * cr.p4) >> 5;
+  int w = cr.a16[cr.cxt] + ((err * (pr.p[cr.p2] - pr.p[cr.p3]) + (1 << 12))
+                            >> 13);
+  if (w < 0) w = 0;
+  if (w > 65535) w = 65535;
+  cr.a16[cr.cxt] = u16(w);
+}
+
+template <int T>
+inline void update_one_mix(Predictor& pr, Comp& cr, int i, int y) {
+  constexpr int mm = T >> 8;
+  int err = ((y * 32767 - squash(pr.p[i])) * cr.p4) >> 4;
+  i32* wt = (i32*)&cr.cm[cr.cxt];
+  for (int j = 0; j < mm; ++j)
+    wt[j] = clamp512k(wt[j] + ((err * pr.p[cr.p2 + j] + (1 << 12)) >> 13));
+}
+
+template <>
+inline void update_one<ISSE>(Predictor& pr, Comp& cr, int i, int y) {
+  int err = y * 32767 - squash(pr.p[i]);
+  i32* wt = (i32*)&cr.cm[cr.cxt * 2];
+  wt[0] = clamp512k(wt[0] + ((err * pr.p[cr.p2] + (1 << 12)) >> 13));
+  wt[1] = clamp512k(wt[1] + ((err + 16) >> 5));
+  cr.ht[cr.c + (pr.hmap4 & 15)] = g_tab.sns[cr.cxt * 4 + y];
+}
+
+template <>
+inline void update_one<SSE>(Predictor& pr, Comp& cr, int, int y) {
+  pr.train(cr, y);
+}
+
+template <int T>
+inline void predict_any(Predictor& pr, Comp& cr, int i) {
+  if constexpr ((T & 255) == MIX) predict_one_mix<T>(pr, cr, i);
+  else predict_one<T>(pr, cr, i);
+}
+
+template <int T>
+inline void update_any(Predictor& pr, Comp& cr, int i, int y) {
+  if constexpr ((T & 255) == MIX) update_one_mix<T>(pr, cr, i, y);
+  else update_one<T>(pr, cr, i, y);
+}
+
+// At a nibble boundary every ICM/ISSE re-probes its hash table (find) —
+// with 8 hash components at -m4/-m5 that is 8 SERIALIZED cache misses per
+// nibble, which dominates the bit loop on big tables. Prefetch every
+// probe's 64-byte block (it contains all three candidates h0/h0^16/h0^32)
+// BEFORE the first find() so the misses overlap. The reference JIT wins
+// partly by the same effect (its straight-line code lets the OoO window
+// reach the next component's load earlier).
+template <int T>
+inline void prefetch_one(Predictor& pr, Comp& cr, int i) {
+  if constexpr ((T & 255) == ICM || (T & 255) == ISSE) {
+    u32 cxt = pr.h[i] + 16 * u32(pr.c8);
+    size_t h0 = (size_t(cxt) * 16) & (cr.ht.size() - 16);
+    const u8* base = &cr.ht[h0 & ~size_t(63)];
+    __builtin_prefetch(base);
+    __builtin_prefetch(base + 63);   // block may straddle two lines
+  } else if constexpr ((T & 255) == MATCH) {
+    __builtin_prefetch(&cr.cm[pr.h[i] & cr.cmmask]);
+  }
+}
+
+template <int... Ts>
+struct ChainOps {
+  template <std::size_t... Is>
+  static int predict_impl(Predictor& pr, std::index_sequence<Is...>) {
+    if (pr.c8 == 1 || (pr.c8 & 0xf0) == 16)
+      (prefetch_one<Ts>(pr, pr.comp[Is], int(Is)), ...);
+    (predict_any<Ts>(pr, pr.comp[Is], int(Is)), ...);
+    return squash(pr.p[int(sizeof...(Ts)) - 1]);
+  }
+  template <std::size_t... Is>
+  static void update_impl(Predictor& pr, int y, std::index_sequence<Is...>) {
+    (update_any<Ts>(pr, pr.comp[Is], int(Is), y), ...);
+    pr.update_tail(y);
+  }
+  static int predict(Predictor& pr) {
+    return predict_impl(pr, std::make_index_sequence<sizeof...(Ts)>{});
+  }
+  static void update(Predictor& pr, int y) {
+    update_impl(pr, y, std::make_index_sequence<sizeof...(Ts)>{});
+  }
+};
+
+// the three standard chains (codec/methods.py make_model; type sequences
+// AND MIX input counts are block-size-invariant, so one instantiation
+// serves -mN at every .N1). MIX entries carry m in the high bits.
+constexpr int MIXm(int m) { return MIX | (m << 8); }
+using ChainM3 = ChainOps<ICM, ISSE>;
+using ChainM4 = ChainOps<ICM, ISSE, ISSE, ISSE, ISSE, ISSE, MATCH, ICM,
+                         ISSE, MIXm(9), MIXm(10), MIX2, SSE, MIX2>;
+using ChainM5 = ChainOps<ICM, ISSE, CM, ICM, ISSE, ISSE, ISSE, ISSE, ISSE,
+                         ISSE, ISSE, MATCH, ICM, ISSE, ICM, ISSE, ICM, ISSE,
+                         MIXm(18), MIXm(19), MIX2, SSE, MIX2>;
+
+struct ChainEntry {
+  std::vector<int> types;     // base type | (m << 8) for MIX
+  int (*predict)(Predictor&);
+  void (*update)(Predictor&, int);
+};
+
+const std::vector<ChainEntry>& chain_registry() {
+  static const std::vector<ChainEntry> reg = {
+      {{ICM, ISSE}, &ChainM3::predict, &ChainM3::update},
+      {{ICM, ISSE, ISSE, ISSE, ISSE, ISSE, MATCH, ICM, ISSE, MIXm(9),
+        MIXm(10), MIX2, SSE, MIX2},
+       &ChainM4::predict, &ChainM4::update},
+      {{ICM, ISSE, CM, ICM, ISSE, ISSE, ISSE, ISSE, ISSE, ISSE, ISSE,
+        MATCH, ICM, ISSE, ICM, ISSE, ICM, ISSE, MIXm(18), MIXm(19), MIX2,
+        SSE, MIX2},
+       &ChainM5::predict, &ChainM5::update},
+  };
+  return reg;
+}
+
+}  // namespace
+
+static void select_chain(Predictor& pr) {
+  int n = pr.hdr.n();
+  for (const ChainEntry& e : chain_registry()) {
+    if (int(e.types.size()) != n) continue;
+    bool ok = true;
+    for (int i = 0; i < n; ++i) {
+      int want = e.types[i];
+      const std::vector<u8>& cp = pr.hdr.comps[i];
+      if (cp[0] != (want & 255)) { ok = false; break; }
+      // MIX input count is baked into the template — must match exactly
+      if (cp[0] == MIX && int(cp[3]) != (want >> 8)) { ok = false; break; }
+    }
+    if (ok) {
+      pr.pred_fn = e.predict;
+      pr.upd_fn = e.update;
+      return;
+    }
   }
 }
 

@@ -113,13 +113,24 @@ struct Predictor {
   int p[256];
   u32 h[256];
   Comp comp[256];
+  // specialized chain entry points (template-instantiated for the three
+  // standard level chains at init; null = generic switch loop). This is
+  // the portable analog of the reference's per-model x86 codegen
+  // (assemble_p, libzpaq.cpp:3489-4263): the compiler unrolls and inlines
+  // the fixed component walk instead of a runtime switch per component.
+  int (*pred_fn)(Predictor&) = nullptr;
+  void (*upd_fn)(Predictor&, int) = nullptr;
 
   void init(const Header& hd);
   bool is_modeled() const { return hdr.n() > 0; }
-  int predict();
-  void update(int y);
-
- private:
+  int predict() { return pred_fn ? pred_fn(*this) : predict_generic(); }
+  void update(int y) {
+    if (upd_fn) upd_fn(*this, y);
+    else update_generic(y);
+  }
+  int predict_generic();
+  void update_generic(int y);
+  void update_tail(int y);   // c8/hmap4/z.run byte bookkeeping
   size_t find(std::vector<u8>& ht, int sizebits, u32 cxt);
   void train(Comp& cr, int y);
 };

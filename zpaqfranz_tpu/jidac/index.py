@@ -124,6 +124,8 @@ class Jidac:
     errors: int = 0
     first_error: int = -1     # offset of the first damaged block (or -1)
     is_index: bool = False    # detached index (no d blocks present)
+    incomplete: bool = False  # trailing transaction truncated -> ignored
+                              # (reference zsfx.cpp:1437)
 
     def file_size(self, name: str) -> int:
         d = self.dt.get(name)
@@ -242,6 +244,21 @@ def _read_archive_stream(stream, until: Optional[int],
                                 else:
                                     rollback |= until < fdate
                             if rollback:
+                                done = True
+                                break
+                            # truncated mid-transaction: the d-block jump
+                            # lands past EOF -> the h/i blocks cannot
+                            # exist. Ignore the transaction like the
+                            # reference ("Incomplete transaction ignored",
+                            # zsfx.cpp:1437) but FLAG it so t/l can warn
+                            # and exit 1 instead of "0 blocks: all OK".
+                            try:
+                                total = stream.size()
+                            except Exception:  # noqa: BLE001
+                                total = None
+                            if jmp > 0 and total is not None \
+                                    and data_offset + jmp > total:
+                                jd.incomplete = True
                                 done = True
                                 break
                             v = VER(date=fdate, lastdate=fdate,

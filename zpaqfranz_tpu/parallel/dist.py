@@ -126,3 +126,47 @@ def decode_streams_sharded(model: Model, streams: Sequence[bytes],
     out = np.asarray(out)
     lengths = np.asarray(lengths)
     return [bytes(out[i, : int(lengths[i])]) for i in range(len(streams))]
+
+
+def decode_streams_sharded_chunked(model: Model, streams: Sequence[bytes],
+                                   max_out: int, mesh=None,
+                                   chunk: int = 64) -> List[bytes]:
+    """Chunked sharded decode: the SAME init_state/run interface the TPU
+    product path drives (engine.py decode_streams 'chunked' branch —
+    bounded device programs with host early-stop), with lanes sharded over
+    the mesh.  Exists so the multichip dry run exercises the code path the
+    product actually uses on silicon, not just the whole-scan variant
+    (VERDICT r4 #10)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from .engine import _bucket
+    from ..ops.codec_arena import ArenaDecoder
+
+    mesh = mesh or default_mesh()
+    dp = mesh.shape["dp"]
+    L = max(_bucket(len(streams)), dp)
+    if L % dp:
+        L = ((L + dp - 1) // dp) * dp
+    maxlen = _bucket(max(len(s) for s in streams))
+    data = np.zeros((L, maxlen), np.uint8)
+    for i, s in enumerate(streams):
+        data[i, : len(s)] = np.frombuffer(s, np.uint8)
+    dec = ArenaDecoder(model)
+    data_j = jax.device_put(jnp.asarray(data),
+                            NamedSharding(mesh, P("dp", None)))
+    with mesh:
+        st = jax.jit(dec.init_state)(data_j)
+        run = jax.jit(lambda st, d: dec.run(st, d, chunk),
+                      donate_argnums=(0,))
+        pieces = []
+        done = 0
+        while done < max_out:
+            st, outs = run(st, data_j)
+            pieces.append(np.asarray(outs))
+            done += chunk
+            if not np.asarray(st["active"]).any():
+                break
+        lengths = np.asarray(st["len"])
+    out = np.concatenate(pieces, axis=1)
+    return [bytes(out[i, : int(lengths[i])]) for i in range(len(streams))]
