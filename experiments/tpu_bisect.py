@@ -1,11 +1,11 @@
-"""Bisect which m4 component crashes the TPU worker.
+"""Shape/data bisect for the m4 arena TPU-worker crash.
 
-Runs the arena encoder on truncated prefixes of the "4.0" component chain,
-each in its own subprocess (a worker crash poisons the TPU client AND takes
-the tunnel down for minutes), 8 lanes x 1 KB.  Between stages, waits for
-the chip to answer a trivial op before proceeding.
+Full m4 chain at L8/BS1024 (friendly data) is OK; L64/BS4096 (word-mix
+corpus) crashed.  This probes one (prefix, L, BS, corpus, chunk) point per
+run, each in its own subprocess, waiting for chip readiness first.
 
-Usage: python experiments/tpu_bisect.py [prefix...]
+Usage: python experiments/tpu_bisect.py <prefix> <L> <BS> <corpus> [chunk]
+  corpus: fox | mix | rand
 """
 
 from __future__ import annotations
@@ -27,26 +27,38 @@ from zpaqfranz_tpu.codec.methods import make_model
 from zpaqfranz_tpu.ops.codec_arena import ArenaEncoder
 from zpaqfranz_tpu.parallel.engine import _enable_compile_cache
 _enable_compile_cache()
-k = int(sys.argv[1])
+k, L, BS, corpus, chunk = (int(sys.argv[1]), int(sys.argv[2]),
+                           int(sys.argv[3]), sys.argv[4], int(sys.argv[5]))
 model, _ = make_model("4.0")
 if k < len(model.comps):
     model.comps = model.comps[:k]
-L, BS = 8, 1024
-data = (b"the quick brown fox jumps over the lazy dog " * 1000)[:L*BS]
+n = L * BS
+if corpus == "fox":
+    data = (b"the quick brown fox jumps over the lazy dog " * (n // 44 + 1))[:n]
+elif corpus == "mix":
+    rng = np.random.default_rng(5)
+    words = [b"the ", b"of ", b"compression ", b"model ", b"context ",
+             b"archive ", b"fragment ", b"entropy ", b"suffix ", b"mix "]
+    data = b"".join(words[rng.integers(0, len(words))]
+                    for _ in range(n // 4))[:n]
+else:
+    rng = np.random.default_rng(7)
+    data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
 payloads = [b"\x00" + data[i*BS:(i+1)*BS][:BS-1] for i in range(L)]
 arr = np.zeros((L, BS), np.uint8)
 lens = np.zeros(L, np.int32)
 for i, p in enumerate(payloads):
     arr[i, :len(p)] = np.frombuffer(p, np.uint8)
     lens[i] = len(p)
-enc = ArenaEncoder(model, out_cap=BS + 512)
-run = jax.jit(lambda st, d, n, j0: enc.run(st, d, n, j0, 256),
+enc = ArenaEncoder(model, out_cap=BS + BS // 2 + 64)
+run = jax.jit(lambda st, d, n, j0: enc.run(st, d, n, j0, chunk),
               donate_argnums=(0,))
-st = jax.jit(lambda: enc.init_state(L))()
-for j0 in range(0, BS + 1, 256):
-    st = run(st, jnp.asarray(arr), jnp.asarray(lens), jnp.int32(j0))
+st = jax.jit(lambda L=L: enc.init_state(L))()
+dj, nj = jnp.asarray(arr), jnp.asarray(lens)
+for j0 in range(0, BS + 1, chunk):
+    st = run(st, dj, nj, jnp.int32(j0))
 cnt = np.asarray(st["cnt"])
-print("OKOK", [c[0] for c in model.comps], list(cnt[:4]))
+print("OKOK", list(cnt[:4]))
 """
 
 PING = r"""
@@ -65,31 +77,36 @@ def chip_ready(timeout=150):
 
 
 def main():
-    prefixes = [int(a) for a in sys.argv[1:]] or [13, 10, 8, 9, 12, 14]
-    results = {}
-    for k in prefixes:
-        t0 = time.time()
-        while not chip_ready():
-            if time.time() - t0 > 1500:
-                results[k] = {"skipped": "chip never became ready"}
-                break
-            print(f"chip not ready, waiting... ({time.time()-t0:.0f}s)",
-                  flush=True)
-            time.sleep(30)
-        else:
-            try:
-                r = subprocess.run(
-                    [sys.executable, "-c", CHILD % REPO, str(k)],
-                    capture_output=True, text=True, timeout=300)
-                ok = "OKOK" in r.stdout
-                tail = "" if ok else (r.stdout + r.stderr)[-250:]
-            except subprocess.TimeoutExpired:
-                ok, tail = False, "TIMEOUT (hung)"
-            results[k] = {"ok": ok, **({"tail": tail} if tail else {})}
-            print(f"prefix {k}: {'OK' if ok else 'CRASH/FAIL'} {tail[:150]}",
-                  flush=True)
-        with open("/tmp/tpu_bisect.json", "w") as f:
-            json.dump(results, f, indent=1)
+    k, L, BS = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+    corpus = sys.argv[4]
+    chunk = int(sys.argv[5]) if len(sys.argv) > 5 else 256
+    key = f"k{k}_L{L}_BS{BS}_{corpus}_c{chunk}"
+    t0 = time.time()
+    while not chip_ready():
+        if time.time() - t0 > 1800:
+            print(f"{key}: SKIP chip never ready", flush=True)
+            return
+        print(f"chip not ready, waiting... ({time.time()-t0:.0f}s)",
+              flush=True)
+        time.sleep(30)
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", CHILD % REPO, str(k), str(L), str(BS),
+             corpus, str(chunk)],
+            capture_output=True, text=True, timeout=420)
+        ok = "OKOK" in r.stdout
+        tail = "" if ok else (r.stdout + r.stderr)[-250:]
+    except subprocess.TimeoutExpired:
+        ok, tail = False, "TIMEOUT (hung)"
+    print(f"{key}: {'OK' if ok else 'CRASH/FAIL'} {tail[:200]}", flush=True)
+    try:
+        with open("/tmp/tpu_bisect.json") as f:
+            results = json.load(f)
+    except Exception:  # noqa: BLE001
+        results = {}
+    results[key] = {"ok": ok, **({"tail": tail} if tail else {})}
+    with open("/tmp/tpu_bisect.json", "w") as f:
+        json.dump(results, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -2551,8 +2551,10 @@ static size_t lz77_scored_core(const u8* in, size_t n, int fmt,
       // better-scoring one (8 = the cost of the literal it spends), code
       // this position as a literal instead (the reference's lookahead
       // analog for the hash finders; the SA mode scores lookahead
-      // explicitly with its 5/8 decay)
-      if (bscore > 0 && blen < 64 && i + 1 < n) {
+      // explicitly with its 5/8 decay). Only short matches are worth the
+      // second probe: >=32 the defer can't pay for its literal (measured
+      // size delta < 0.05%, probe count -25%).
+      if (bscore > 0 && blen < 32 && i + 1 < n) {
         size_t blen1, bp1;
         int bscore1 = probe(i + 1, blen1, bp1);
         if (bscore1 > bscore + 8) {

@@ -65,6 +65,20 @@ def _model_lane_bytes(model: Model, maxlen: int, max_out: int) -> int:
 
 _DEVICE_BUDGET = 12 << 30   # leave headroom on a 16 GB chip
 
+# Empirical per-program arena cap (round-5 bisect, experiments/
+# tpu_bisect.py on the v5e): the m4 arena engine round-trips fine at
+# 8 lanes (~90 MB of arena state) but the TPU worker crashes with a
+# kernel fault at 64 lanes (~717 MB) and hangs at 32 (~358 MB) — far
+# below HBM and XLA's own static peak estimate, i.e. a shape-dependent
+# backend fault, not OOM. Small models ("3": 0.14 MB/lane) are fine at
+# 1024+ lanes. Cap total arena bytes per device program and chunk the
+# rest sequentially; override with ZPAQFRANZ_DEVICE_MAX_STATE.
+
+
+def _max_state_bytes() -> int:
+    env = os.environ.get("ZPAQFRANZ_DEVICE_MAX_STATE")
+    return int(env) if env else (160 << 20)
+
 
 def _chunk_steps(total: int) -> int:
     """Scan steps per device program.  Long-running XLA programs get killed
@@ -90,9 +104,21 @@ class DeviceCoder:
 
     def _lane_chunks(self, n: int, model: Model, maxlen: int,
                      max_out: int) -> List[Tuple[int, int]]:
-        """Split n lanes into (start, count) chunks fitting device memory."""
-        cap = max(1, _DEVICE_BUDGET // _model_lane_bytes(model, maxlen,
-                                                         max_out))
+        """Split n lanes into (start, count) chunks fitting device memory
+        AND the empirical per-program arena-state cap (see
+        _max_state_bytes: big-model lane counts above it kill the TPU
+        worker even though memory fits)."""
+        from ..ops.codec_arena import _Layout
+        lay = _Layout(model)
+        state = max(1, lay.s8 + 4 * lay.s32)
+        cap = max(1, min(_DEVICE_BUDGET // _model_lane_bytes(model, maxlen,
+                                                             max_out),
+                         _max_state_bytes() // state))
+        # floor to a power of two: lane arrays are bucket-padded UP to the
+        # next pow2, so a non-pow2 cap would silently re-exceed the state
+        # limit after padding
+        if cap > 1:
+            cap = 1 << (cap.bit_length() - 1)
         return [(s, min(cap, n - s)) for s in range(0, n, cap)]
 
     # ---- decode ---------------------------------------------------------
