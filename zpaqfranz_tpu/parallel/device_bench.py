@@ -42,10 +42,10 @@ _REPO = os.path.dirname(os.path.dirname(os.path.dirname(
 # arena-state limit — its stages come LAST and stay within tested shapes.
 LADDER: List[Tuple[str, str, int, int]] = [
     ("hash", "", 0, 0),
-    ("codec", "3", 256, 16384),
-    ("codec", "3", 1024, 16384),
-    ("codec", "4.0", 8, 16384),
-    ("codec", "4.0", 32, 8192),
+    ("codec", "3", 256, 4096),
+    ("codec", "3", 1024, 2048),
+    ("codec", "4.0", 8, 4096),
+    ("codec", "4.0", 32, 4096),
 ]
 
 _CHILD = r"""
@@ -206,4 +206,4 @@ def bootstrap_calibration(budget_s: float = 240.0) -> Dict:
     return run_ladder(record_calibration=True, budget_s=budget_s,
                       stage_timeout=180.0,
                       ladder=[("hash", "", 0, 0),
-                              ("codec", "3", 256, 16384)])
+                              ("codec", "3", 256, 4096)])
