@@ -152,6 +152,23 @@ def _bench_device(detail: dict) -> None:
                                             budget_s=budget)
 
 
+def _bench_reference_decode(detail: dict) -> None:
+    """Head-to-head vs the reference's OWN decoder (libzpaq x86 JIT from
+    the ZSFX snapshot, VirtualAlloc shimmed to mmap) on identical blocks
+    and identical hardware — the direct measurement of the 'reference
+    JIT-class' comparison rounds 3-4 could only estimate. Skipped
+    gracefully when the reference tree or toolchain is absent."""
+    try:
+        import sys
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "experiments"))
+        from ref_decode_bench import compare_levels
+        data = _level_corpus(2 << 20)
+        detail["reference_decode"] = compare_levels(data)
+    except Exception as e:  # noqa: BLE001
+        detail["reference_decode"] = {"error": f"{type(e).__name__}: {e}"}
+
+
 def _bench_golden_parity(detail: dict) -> None:
     """Ratio parity against the reference's own output: re-archive the
     golden fixture's 256 files at -m5 and compare archive sizes. The
@@ -315,6 +332,7 @@ def main() -> None:
             "baseline_source": "reference README.md:328 (80-200 MB/s)",
         }
         _bench_levels(detail)
+        _bench_reference_decode(detail)
         _bench_golden_parity(detail)
         _bench_device(detail)
         print(json.dumps({

@@ -251,6 +251,26 @@ void SHA1::final(u8* out20) {
 }
 
 // ---- ZPAQL VM (reference semantics: libzpaq.cpp:1033-1254) ----------------
+// Known standard-level HCOMP programs (registered from Python with the
+// exact generated bytecode): matched by byte equality, executed by a
+// hand-specialized native context update — the host analog of the device
+// side's trace-time bytecode specializer (ops/hcomp_fast.py). ~15-35% of
+// CM decode time is the per-byte interpreted HCOMP walk.
+namespace {
+struct KnownHcomp {
+  std::vector<u8> code;
+  int kind;
+};
+std::vector<KnownHcomp> g_known_hcomps;
+}  // namespace
+
+void register_hcomp(const u8* code, size_t len, int kind) {
+  KnownHcomp k;
+  k.code.assign(code, code + len);
+  k.kind = kind;
+  g_known_hcomps.push_back(k);
+}
+
 void VM::init(const u8* prog, size_t proglen, int hbits, int mbits) {
   code.assign(prog, prog + proglen);
   h.assign(size_t(1) << hbits, 0);
@@ -259,9 +279,102 @@ void VM::init(const u8* prog, size_t proglen, int hbits, int mbits) {
   hmask = u32((size_t(1) << hbits) - 1);
   mmask = u32((size_t(1) << mbits) - 1);
   a = b = c = d = 0; f = 0;
+  fast_hcomp = 0;
+  for (const KnownHcomp& k : g_known_hcomps)
+    if (k.code == code) { fast_hcomp = k.kind; break; }
+}
+
+// Exact native transcriptions of the three generated level HCOMPs (see
+// codec/methods.py; disassembly in the round-5 build log). Every
+// register/H/M side effect matches the interpreter bit-for-bit — the
+// bytecode-equality guard guarantees these bodies correspond.
+void VM::run_fast(u32 input) {
+  u32* H = h.data();
+  u8* M = m.data();
+  const u32 hm = hmask, mm = mmask;
+  a = input;
+  // shared preamble: c--; *c=a; a+=255; d=a; *d=c
+  c = c - 1;
+  M[c & mm] = u8(a);
+  u32 byte = a & 255;
+  a += 255;
+  d = a;
+  H[d & hm] = c;
+  if (fast_hcomp == 3) {
+    // d=0 *d=0; d=0 b=c a=*d d++ hash *d=a
+    H[0] = 0;
+    b = c;
+    d = 1;
+    a = (0 + M[b & mm] + 512) * 773;
+    H[1] = a;
+    return;
+  }
+  if (fast_hcomp == 4) {
+    H[0] = 0;                                   // d=0 *d=0
+    b = c;                                      // d=0 b=c a=*d(0)
+    a = (0 + M[b & mm] + 512) * 773; H[1] = a;  // d++ hash ; b++ *d=a
+    a = (a + M[(c + 1) & mm] + 512) * 773; H[2] = a;
+    a = (a + M[(c + 2) & mm] + 512) * 773; H[3] = a;
+    a = (a + M[(c + 3) & mm] + 512) * 773; H[4] = a;
+    a = (a + M[(c + 4) & mm] + 512) * 773;      // d=5: hash, b++, hash
+    a = (a + M[(c + 5) & mm] + 512) * 773; H[5] = a;
+    H[6] = H[6] * 24 + M[c & mm] + 1;           // MATCH rolling context
+    f = ((((byte & 223) - 65) & 255) < 26);     // letter-class test
+    if (f) H[7] = H[7] * 20 + M[c & mm] + 1;    // word context extend
+    else H[7] = 0;
+    // branch join: d=7 b=c a=*d d++ hash *d=a  (a is overwritten by hash)
+    b = c;
+    a = (H[7] + M[c & mm] + 512) * 773;
+    H[8] = a;
+    d = 10;
+    H[10] = 0;
+    a = u32(byte) << 8;                          // a=0 a<<=8 a+=*b a<<=8
+    H[10] = a;
+    return;
+  }
+  // fast_hcomp == 5
+  {
+    u32 t = ((byte & 223) - 65) & 255;          // letter-class test first
+    f = (t < 26);
+    if (f) H[0] = H[0] * 20 + M[c & mm] + 1;
+    else H[0] = 0;
+    b = c;
+    a = (H[0] + M[c & mm] + 512) * 773; H[1] = a;   // word ISSE head
+    H[2] = 0;
+    H[3] = 0;
+    a = (0 + M[c & mm] + 512) * 773; H[4] = a;      // order-1..8 chain
+    a = (a + M[(c + 1) & mm] + 512) * 773; H[5] = a;
+    a = (a + M[(c + 2) & mm] + 512) * 773; H[6] = a;
+    a = (a + M[(c + 3) & mm] + 512) * 773; H[7] = a;
+    a = (a + M[(c + 4) & mm] + 512) * 773; H[8] = a;
+    a = (a + M[(c + 5) & mm] + 512) * 773; H[9] = a;
+    a = (a + M[(c + 6) & mm] + 512) * 773;
+    a = (a + M[(c + 7) & mm] + 512) * 773; H[10] = a;
+    H[11] = H[11] * 24 + M[c & mm] + 1;             // MATCH rolling
+    u32 x = (0 + (c & 1) + 512) * 773;              // periodic contexts
+    x = (x + M[(c + 1) & mm] + 512) * 773;
+    H[12] = x;
+    a = (x + M[c & mm] + 512) * 773; H[13] = a;
+    x = (0 + (c % 3) + 512) * 773;
+    x = (x + M[(c + 2) & mm] + 512) * 773;
+    H[14] = x;
+    a = (x + M[c & mm] + 512) * 773; H[15] = a;
+    x = (0 + (c & 3) + 512) * 773;
+    x = (x + M[(c + 3) & mm] + 512) * 773;
+    H[16] = x;
+    a = (x + M[c & mm] + 512) * 773; H[17] = a;
+    H[19] = u32(byte) << 8;                          // MIX selects
+    a = ((u32(byte) << 8) + M[(c + 1) & mm]);
+    a = (a >> 5) << 8;
+    H[21] = a;
+    b = c + 1;
+    d = 21;
+    return;
+  }
 }
 
 void VM::run(u32 input) {
+  if (fast_hcomp) { run_fast(input); return; }
   a = input;
   size_t pc = 0;
   const size_t n = code.size();
@@ -653,108 +766,120 @@ void Predictor::update_tail(int y) {
 
 namespace {
 
+// Per-bit hot state passed by value/registers through the chain: stores to
+// component tables (cr.cm/cr.ht live inside pr.comp[]) would otherwise
+// force the compiler to reload pr.c8/pr.hmap4/pr.p[] after every update
+// (potential aliasing through Predictor&) — the exact reloads the
+// reference's JIT avoids by pinning them in registers.
+struct BitCtx {
+  int c8, hmap4;
+  const u32* h;
+  int* p;            // local per-bit prediction array (register-allocated)
+};
+
 template <int T>
-inline void predict_one(Predictor& pr, Comp& cr, int i);
+inline void predict_one(Predictor& pr, Comp& cr, int i, BitCtx& cx);
 
 template <>
-inline void predict_one<CONS>(Predictor&, Comp&, int) {}
+inline void predict_one<CONS>(Predictor&, Comp&, int, BitCtx&) {}
 
 template <>
-inline void predict_one<CM>(Predictor& pr, Comp& cr, int i) {
-  cr.cxt = (pr.h[i] ^ u32(pr.hmap4)) & cr.cmmask;
-  pr.p[i] = stretch(int(cr.cm[cr.cxt] >> 17));
+inline void predict_one<CM>(Predictor& pr, Comp& cr, int i, BitCtx& cx) {
+  cr.cxt = (cx.h[i] ^ u32(cx.hmap4)) & cr.cmmask;
+  cx.p[i] = stretch(int(cr.cm[cr.cxt] >> 17));
 }
 
 template <>
-inline void predict_one<ICM>(Predictor& pr, Comp& cr, int i) {
-  if (pr.c8 == 1 || (pr.c8 & 0xf0) == 16)
-    cr.c = pr.find(cr.ht, cr.p1 + 2, pr.h[i] + 16 * u32(pr.c8));
-  cr.cxt = cr.ht[cr.c + (pr.hmap4 & 15)];
-  pr.p[i] = stretch(int(cr.cm[cr.cxt]) >> 8);
+inline void predict_one<ICM>(Predictor& pr, Comp& cr, int i, BitCtx& cx) {
+  if (cx.c8 == 1 || (cx.c8 & 0xf0) == 16)
+    cr.c = pr.find(cr.ht, cr.p1 + 2, cx.h[i] + 16 * u32(cx.c8));
+  cr.cxt = cr.ht[cr.c + (cx.hmap4 & 15)];
+  cx.p[i] = stretch(int(cr.cm[cr.cxt]) >> 8);
 }
 
 template <>
-inline void predict_one<MATCH>(Predictor& pr, Comp& cr, int i) {
-  if (cr.a == 0) pr.p[i] = 0;
+inline void predict_one<MATCH>(Predictor& pr, Comp& cr, int i, BitCtx& cx) {
+  if (cr.a == 0) cx.p[i] = 0;
   else {
     cr.c = (cr.ht[(cr.limit - cr.b) & cr.htmask] >> (7 - cr.cxt)) & 1;
-    pr.p[i] = stretch((g_tab.dt2k[cr.a] * (int(cr.c) * -2 + 1)) & 32767);
+    cx.p[i] = stretch((g_tab.dt2k[cr.a] * (int(cr.c) * -2 + 1)) & 32767);
   }
 }
 
 template <>
-inline void predict_one<AVG>(Predictor& pr, Comp& cr, int i) {
-  pr.p[i] = (pr.p[cr.p1] * cr.p3 + pr.p[cr.p2] * (256 - cr.p3)) >> 8;
+inline void predict_one<AVG>(Predictor& pr, Comp& cr, int i, BitCtx& cx) {
+  cx.p[i] = (cx.p[cr.p1] * cr.p3 + cx.p[cr.p2] * (256 - cr.p3)) >> 8;
 }
 
 template <>
-inline void predict_one<MIX2>(Predictor& pr, Comp& cr, int i) {
-  cr.cxt = (pr.h[i] + (pr.c8 & cr.p5)) & (cr.c - 1);
+inline void predict_one<MIX2>(Predictor& pr, Comp& cr, int i, BitCtx& cx) {
+  cr.cxt = (cx.h[i] + (cx.c8 & cr.p5)) & (cr.c - 1);
   int w = cr.a16[cr.cxt];
-  pr.p[i] = (w * pr.p[cr.p2] + (65536 - w) * pr.p[cr.p3]) >> 16;
+  cx.p[i] = (w * cx.p[cr.p2] + (65536 - w) * cx.p[cr.p3]) >> 16;
 }
 
 // MIX is encoded in chain type lists as MIX | (m << 8): the input count m
 // becomes a compile-time constant so the per-bit dot product fully unrolls
 // (and vectorizes) instead of looping on a runtime count
 template <int T>
-inline void predict_one_mix(Predictor& pr, Comp& cr, int i) {
+inline void predict_one_mix(Predictor& pr, Comp& cr, int i, BitCtx& cx) {
   constexpr int mm = T >> 8;
-  cr.cxt = ((pr.h[i] + (pr.c8 & cr.p5)) & (cr.c - 1)) * mm;
+  cr.cxt = ((cx.h[i] + (cx.c8 & cr.p5)) & (cr.c - 1)) * mm;
   const i32* wt = (const i32*)&cr.cm[cr.cxt];
   int sum = 0;
-  for (int j = 0; j < mm; ++j) sum += (wt[j] >> 8) * pr.p[cr.p2 + j];
-  pr.p[i] = clamp2k(sum >> 8);
+  for (int j = 0; j < mm; ++j) sum += (wt[j] >> 8) * cx.p[cr.p2 + j];
+  cx.p[i] = clamp2k(sum >> 8);
 }
 
 template <>
-inline void predict_one<ISSE>(Predictor& pr, Comp& cr, int i) {
-  if (pr.c8 == 1 || (pr.c8 & 0xf0) == 16)
-    cr.c = pr.find(cr.ht, cr.p1 + 2, pr.h[i] + 16 * u32(pr.c8));
-  cr.cxt = cr.ht[cr.c + (pr.hmap4 & 15)];
+inline void predict_one<ISSE>(Predictor& pr, Comp& cr, int i, BitCtx& cx) {
+  if (cx.c8 == 1 || (cx.c8 & 0xf0) == 16)
+    cr.c = pr.find(cr.ht, cr.p1 + 2, cx.h[i] + 16 * u32(cx.c8));
+  cr.cxt = cr.ht[cr.c + (cx.hmap4 & 15)];
   const i32* wt = (const i32*)&cr.cm[cr.cxt * 2];
-  pr.p[i] = clamp2k((wt[0] * pr.p[cr.p2] + wt[1] * 64) >> 16);
+  cx.p[i] = clamp2k((wt[0] * cx.p[cr.p2] + wt[1] * 64) >> 16);
 }
 
 template <>
-inline void predict_one<SSE>(Predictor& pr, Comp& cr, int i) {
-  cr.cxt = (pr.h[i] + u32(pr.c8)) * 32;
-  int pq = pr.p[cr.p2] + 992;
+inline void predict_one<SSE>(Predictor& pr, Comp& cr, int i, BitCtx& cx) {
+  cr.cxt = (cx.h[i] + u32(cx.c8)) * 32;
+  int pq = cx.p[cr.p2] + 992;
   if (pq < 0) pq = 0;
   if (pq > 1983) pq = 1983;
   int wt = pq & 63;
   pq >>= 6;
   cr.cxt += u32(pq);
-  pr.p[i] = stretch(((int(cr.cm[cr.cxt & cr.cmmask] >> 10) * (64 - wt) +
+  cx.p[i] = stretch(((int(cr.cm[cr.cxt & cr.cmmask] >> 10) * (64 - wt) +
                       int(cr.cm[(cr.cxt + 1) & cr.cmmask] >> 10) * wt)
                      >> 13));
   cr.cxt += u32(wt >> 5);
 }
 
 template <int T>
-inline void update_one(Predictor& pr, Comp& cr, int i, int y);
+inline void update_one(Predictor& pr, Comp& cr, int i, int y, BitCtx& cx);
 
 template <>
-inline void update_one<CONS>(Predictor&, Comp&, int, int) {}
+inline void update_one<CONS>(Predictor&, Comp&, int, int, BitCtx&) {}
 
 template <>
-inline void update_one<AVG>(Predictor&, Comp&, int, int) {}
+inline void update_one<AVG>(Predictor&, Comp&, int, int, BitCtx&) {}
 
 template <>
-inline void update_one<CM>(Predictor& pr, Comp& cr, int, int y) {
+inline void update_one<CM>(Predictor& pr, Comp& cr, int, int y, BitCtx&) {
   pr.train(cr, y);
 }
 
 template <>
-inline void update_one<ICM>(Predictor& pr, Comp& cr, int, int y) {
-  size_t idx = cr.c + (pr.hmap4 & 15);
+inline void update_one<ICM>(Predictor& pr, Comp& cr, int, int y, BitCtx& cx) {
+  size_t idx = cr.c + (cx.hmap4 & 15);
   cr.ht[idx] = g_tab.sns[cr.ht[idx] * 4 + y];
   u32& pn = cr.cm[cr.cxt];
   pn += u32((y * 32767 - int(pn >> 8)) >> 2);
 }
 
 template <>
-inline void update_one<MATCH>(Predictor& pr, Comp& cr, int i, int y) {
+inline void update_one<MATCH>(Predictor& pr, Comp& cr, int i, int y,
+                              BitCtx& cx) {
   size_t mask = cr.htmask;
   if (int(cr.c) != y) cr.a = 0;
   cr.ht[cr.limit & mask] = u8(cr.ht[cr.limit & mask] * 2 + y);
@@ -762,21 +887,22 @@ inline void update_one<MATCH>(Predictor& pr, Comp& cr, int i, int y) {
     cr.cxt = 0;
     cr.limit = (cr.limit + 1) & mask;
     if (cr.a == 0) {
-      cr.b = (cr.limit - cr.cm[pr.h[i] & cr.cmmask]);
+      cr.b = (cr.limit - cr.cm[cx.h[i] & cr.cmmask]);
       if (cr.b & mask)
         while (cr.a < 255 &&
                cr.ht[(cr.limit - cr.a - 1) & mask] ==
                    cr.ht[(cr.limit - cr.a - cr.b - 1) & mask])
           ++cr.a;
     } else if (cr.a < 255) ++cr.a;
-    cr.cm[pr.h[i] & cr.cmmask] = u32(cr.limit);
+    cr.cm[cx.h[i] & cr.cmmask] = u32(cr.limit);
   }
 }
 
 template <>
-inline void update_one<MIX2>(Predictor& pr, Comp& cr, int i, int y) {
-  int err = ((y * 32767 - squash(pr.p[i])) * cr.p4) >> 5;
-  int w = cr.a16[cr.cxt] + ((err * (pr.p[cr.p2] - pr.p[cr.p3]) + (1 << 12))
+inline void update_one<MIX2>(Predictor& pr, Comp& cr, int i, int y,
+                             BitCtx& cx) {
+  int err = ((y * 32767 - squash(cx.p[i])) * cr.p4) >> 5;
+  int w = cr.a16[cr.cxt] + ((err * (cx.p[cr.p2] - cx.p[cr.p3]) + (1 << 12))
                             >> 13);
   if (w < 0) w = 0;
   if (w > 65535) w = 65535;
@@ -784,38 +910,40 @@ inline void update_one<MIX2>(Predictor& pr, Comp& cr, int i, int y) {
 }
 
 template <int T>
-inline void update_one_mix(Predictor& pr, Comp& cr, int i, int y) {
+inline void update_one_mix(Predictor& pr, Comp& cr, int i, int y,
+                           BitCtx& cx) {
   constexpr int mm = T >> 8;
-  int err = ((y * 32767 - squash(pr.p[i])) * cr.p4) >> 4;
+  int err = ((y * 32767 - squash(cx.p[i])) * cr.p4) >> 4;
   i32* wt = (i32*)&cr.cm[cr.cxt];
   for (int j = 0; j < mm; ++j)
-    wt[j] = clamp512k(wt[j] + ((err * pr.p[cr.p2 + j] + (1 << 12)) >> 13));
+    wt[j] = clamp512k(wt[j] + ((err * cx.p[cr.p2 + j] + (1 << 12)) >> 13));
 }
 
 template <>
-inline void update_one<ISSE>(Predictor& pr, Comp& cr, int i, int y) {
-  int err = y * 32767 - squash(pr.p[i]);
+inline void update_one<ISSE>(Predictor& pr, Comp& cr, int i, int y,
+                             BitCtx& cx) {
+  int err = y * 32767 - squash(cx.p[i]);
   i32* wt = (i32*)&cr.cm[cr.cxt * 2];
-  wt[0] = clamp512k(wt[0] + ((err * pr.p[cr.p2] + (1 << 12)) >> 13));
+  wt[0] = clamp512k(wt[0] + ((err * cx.p[cr.p2] + (1 << 12)) >> 13));
   wt[1] = clamp512k(wt[1] + ((err + 16) >> 5));
-  cr.ht[cr.c + (pr.hmap4 & 15)] = g_tab.sns[cr.cxt * 4 + y];
+  cr.ht[cr.c + (cx.hmap4 & 15)] = g_tab.sns[cr.cxt * 4 + y];
 }
 
 template <>
-inline void update_one<SSE>(Predictor& pr, Comp& cr, int, int y) {
+inline void update_one<SSE>(Predictor& pr, Comp& cr, int, int y, BitCtx&) {
   pr.train(cr, y);
 }
 
 template <int T>
-inline void predict_any(Predictor& pr, Comp& cr, int i) {
-  if constexpr ((T & 255) == MIX) predict_one_mix<T>(pr, cr, i);
-  else predict_one<T>(pr, cr, i);
+inline void predict_any(Predictor& pr, Comp& cr, int i, BitCtx& cx) {
+  if constexpr ((T & 255) == MIX) predict_one_mix<T>(pr, cr, i, cx);
+  else predict_one<T>(pr, cr, i, cx);
 }
 
 template <int T>
-inline void update_any(Predictor& pr, Comp& cr, int i, int y) {
-  if constexpr ((T & 255) == MIX) update_one_mix<T>(pr, cr, i, y);
-  else update_one<T>(pr, cr, i, y);
+inline void update_any(Predictor& pr, Comp& cr, int i, int y, BitCtx& cx) {
+  if constexpr ((T & 255) == MIX) update_one_mix<T>(pr, cr, i, y, cx);
+  else update_one<T>(pr, cr, i, y, cx);
 }
 
 // At a nibble boundary every ICM/ISSE re-probes its hash table (find) —
@@ -840,16 +968,24 @@ inline void prefetch_one(Predictor& pr, Comp& cr, int i) {
 
 template <int... Ts>
 struct ChainOps {
+  static const int NC = int(sizeof...(Ts));
   template <std::size_t... Is>
   static int predict_impl(Predictor& pr, std::index_sequence<Is...>) {
     if (pr.c8 == 1 || (pr.c8 & 0xf0) == 16)
       (prefetch_one<Ts>(pr, pr.comp[Is], int(Is)), ...);
-    (predict_any<Ts>(pr, pr.comp[Is], int(Is)), ...);
-    return squash(pr.p[int(sizeof...(Ts)) - 1]);
+    int pl[NC];
+    BitCtx cx{pr.c8, pr.hmap4, pr.h, pl};
+    (predict_any<Ts>(pr, pr.comp[Is], int(Is), cx), ...);
+    // publish for update's error terms (one sequential store burst)
+    for (int i = 0; i < NC; ++i) pr.p[i] = pl[i];
+    return squash(pl[NC - 1]);
   }
   template <std::size_t... Is>
   static void update_impl(Predictor& pr, int y, std::index_sequence<Is...>) {
-    (update_any<Ts>(pr, pr.comp[Is], int(Is), y), ...);
+    int pl[NC];
+    for (int i = 0; i < NC; ++i) pl[i] = pr.p[i];
+    BitCtx cx{pr.c8, pr.hmap4, pr.h, pl};
+    (update_any<Ts>(pr, pr.comp[Is], int(Is), y, cx), ...);
     pr.update_tail(y);
   }
   static int predict(Predictor& pr) {
@@ -1501,6 +1637,12 @@ u64 tzs_size(void* h) { return ((Stream*)h)->in.size(); }
 void tz_register_pcomp(const u8* code, size_t len, int kind, int p1,
                        int p2) {
   register_pcomp(code, len, kind, p1, p2);
+}
+
+// Register a known standard-level HCOMP bytecode (kind 3/4/5) for the
+// native specialized context update (VM::run_fast).
+void tz_register_hcomp(const u8* code, size_t len, int kind) {
+  register_hcomp(code, len, kind);
 }
 
 // raw (already-decrypted) archive bytes at an absolute logical offset —

@@ -77,10 +77,16 @@ struct VM {
   int f = 0;
   u32 hmask = 0, mmask = 0;
   Sink* out = nullptr;    // OUT destination (PCOMP)
+  // recognized standard-level HCOMP program (3/4/5) -> native context
+  // update instead of the per-instruction interpreter; 0 = interpret.
+  // Matched by bytecode equality at init (register_hcomp).
+  int fast_hcomp = 0;
 
   void init(const u8* prog, size_t proglen, int hbits, int mbits);
   void run(u32 input);
+  void run_fast(u32 input);
 };
+void register_hcomp(const u8* code, size_t len, int kind);
 
 // ---- model description parsed from a serialized block header ----
 struct Header {

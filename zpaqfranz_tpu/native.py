@@ -158,6 +158,7 @@ def _load():
                                   C.c_char_p]
     lib.tz_register_pcomp.argtypes = [C.c_char_p, C.c_size_t, C.c_int,
                                       C.c_int, C.c_int]
+    lib.tz_register_hcomp.argtypes = [C.c_char_p, C.c_size_t, C.c_int]
     lib.tz_install_tables.argtypes = [C.c_char_p] * 6
     lib.tz_install_tables(
         T.SNS.tobytes(),
@@ -175,6 +176,16 @@ def _load():
         register_fast_pcomps()
     except Exception:
         pass    # VM fallback still decodes everything correctly
+    # ... and the standard-level HCOMP context programs, so the per-byte
+    # context update runs a specialized native body instead of the
+    # bytecode interpreter (host analog of ops/hcomp_fast.py)
+    try:
+        from .codec.methods import make_model
+        for level in ("3", "4", "5"):
+            model, _ = make_model(level)
+            lib.tz_register_hcomp(model.hcomp, len(model.hcomp), int(level))
+    except Exception:
+        pass    # interpreter fallback is always correct
     return lib
 
 
