@@ -252,11 +252,15 @@ def _read_archive_stream(stream, until: Optional[int],
                             # reference ("Incomplete transaction ignored",
                             # zsfx.cpp:1437) but FLAG it so t/l can warn
                             # and exit 1 instead of "0 blocks: all OK".
+                            # (not in index mode: a detached index keeps
+                            # the c blocks but intentionally omits the d
+                            # data the csize jump refers to)
                             try:
                                 total = stream.size()
                             except Exception:  # noqa: BLE001
                                 total = None
-                            if jmp > 0 and total is not None \
+                            if not index_mode and jmp > 0 \
+                                    and total is not None \
                                     and data_offset + jmp > total:
                                 jd.incomplete = True
                                 done = True
