@@ -562,9 +562,11 @@ def level_method(level: int, block_arg: int = 4, ease: int = 128,
     if level == 2:                      # packed LZ77, deep match search,
         # same decode speed as -m1 (libzpaq.h:101). The spec's example is
         # the SA finder ("x4.1.4.0.8.25", libzpaq.h:166-170); our preset
-        # reaches the same stream size with dual hash chains (h4+h12) at
-        # ~4x the encode speed (measured: 21.8 vs 4.9 MB/s, LZ stream
-        # within 0.1%), so the level-2 preset selects chains; explicit
+        # reaches the same stream-size class with dual hash chains
+        # (h4+h12) at ~6x the encode speed (r5: depth 4 parses 30 vs the
+        # SA's 4.9 MB/s, LZ stream within 0.5% of depth 8 — the 12-byte
+        # chain already finds the long matches, so shallow h4 probing
+        # costs little), so the level-2 preset selects chains; explicit
         # x-methods with N6 = N1+21 still get the true suffix array
         return f"x{b}.{1 + e89}.4.0.3.24"
     if level == 3:                      # BWT + low-order chain
