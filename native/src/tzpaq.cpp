@@ -575,6 +575,8 @@ void Predictor::init(const Header& hd) {
   // assignment only needs the declaration)
   pred_fn = nullptr;
   upd_fn = nullptr;
+  dec_byte_fn = nullptr;
+  enc_byte_fn = nullptr;
   select_chain(*this);
 }
 
@@ -1007,22 +1009,54 @@ using ChainM5 = ChainOps<ICM, ISSE, CM, ICM, ISSE, ISSE, ISSE, ISSE, ISSE,
                          ISSE, ISSE, MATCH, ICM, ISSE, ICM, ISSE, ICM, ISSE,
                          MIXm(18), MIXm(19), MIX2, SSE, MIX2>;
 
+// Fused per-byte coder loops: predict + arithmetic-code + update of every
+// bit inlined into one function per chain — no per-bit indirect calls, and
+// the optimizer schedules across the three phases (the reference's
+// assemble_p emits exactly this shape).
+template <typename Chain>
+int decode_byte_fused(Predictor& pr, Decoder& dec) {
+  int c = 1;
+  while (c < 256) {
+    int p = Chain::predict(pr) * 2 + 1;
+    c += c + dec.decode(p);
+    Chain::update(pr, c & 1);
+  }
+  return c - 256;
+}
+
+template <typename Chain>
+void encode_byte_fused(Predictor& pr, Encoder& enc, int c) {
+  for (int i = 7; i >= 0; --i) {
+    int p = Chain::predict(pr) * 2 + 1;
+    int y = (c >> i) & 1;
+    enc.encode(y, p);
+    Chain::update(pr, y);
+  }
+}
+
 struct ChainEntry {
   std::vector<int> types;     // base type | (m << 8) for MIX
   int (*predict)(Predictor&);
   void (*update)(Predictor&, int);
+  int (*dec_byte)(Predictor&, Decoder&);
+  void (*enc_byte)(Predictor&, Encoder&, int);
 };
+
+template <typename Chain>
+ChainEntry make_entry(std::vector<int> types) {
+  return {std::move(types), &Chain::predict, &Chain::update,
+          &decode_byte_fused<Chain>, &encode_byte_fused<Chain>};
+}
 
 const std::vector<ChainEntry>& chain_registry() {
   static const std::vector<ChainEntry> reg = {
-      {{ICM, ISSE}, &ChainM3::predict, &ChainM3::update},
-      {{ICM, ISSE, ISSE, ISSE, ISSE, ISSE, MATCH, ICM, ISSE, MIXm(9),
-        MIXm(10), MIX2, SSE, MIX2},
-       &ChainM4::predict, &ChainM4::update},
-      {{ICM, ISSE, CM, ICM, ISSE, ISSE, ISSE, ISSE, ISSE, ISSE, ISSE,
-        MATCH, ICM, ISSE, ICM, ISSE, ICM, ISSE, MIXm(18), MIXm(19), MIX2,
-        SSE, MIX2},
-       &ChainM5::predict, &ChainM5::update},
+      make_entry<ChainM3>({ICM, ISSE}),
+      make_entry<ChainM4>({ICM, ISSE, ISSE, ISSE, ISSE, ISSE, MATCH, ICM,
+                           ISSE, MIXm(9), MIXm(10), MIX2, SSE, MIX2}),
+      make_entry<ChainM5>({ICM, ISSE, CM, ICM, ISSE, ISSE, ISSE, ISSE,
+                           ISSE, ISSE, ISSE, MATCH, ICM, ISSE, ICM, ISSE,
+                           ICM, ISSE, MIXm(18), MIXm(19), MIX2, SSE,
+                           MIX2}),
   };
   return reg;
 }
@@ -1044,6 +1078,8 @@ static void select_chain(Predictor& pr) {
     if (ok) {
       pr.pred_fn = e.predict;
       pr.upd_fn = e.update;
+      pr.dec_byte_fn = e.dec_byte;
+      pr.enc_byte_fn = e.enc_byte;
       return;
     }
   }
@@ -1084,6 +1120,7 @@ int Decoder::decompress() {
       if (curr != 0) throw format_error("decoding end of stream");
       return -1;
     }
+    if (pr.dec_byte_fn) return pr.dec_byte_fn(pr, *this);
     int c = 1;
     while (c < 256) {
       int p = pr.predict() * 2 + 1;
@@ -1367,6 +1404,7 @@ void Encoder::compress(int c) {
     if (c < 0) encode(1, 0);
     else {
       encode(0, 0);
+      if (pr.enc_byte_fn) { pr.enc_byte_fn(pr, *this, c); return; }
       for (int i = 7; i >= 0; --i) {
         int p = pr.predict() * 2 + 1;
         int y = (c >> i) & 1;

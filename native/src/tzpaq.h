@@ -112,6 +112,9 @@ struct Comp {
   u32 cmmask = 0, htmask = 0;
 };
 
+struct Decoder;
+struct Encoder;
+
 struct Predictor {
   Header hdr;
   VM z;
@@ -126,6 +129,11 @@ struct Predictor {
   // the fixed component walk instead of a runtime switch per component.
   int (*pred_fn)(Predictor&) = nullptr;
   void (*upd_fn)(Predictor&, int) = nullptr;
+  // fused per-byte coder loops (predict/decode-or-encode/update inlined
+  // together, no per-bit indirect calls — proportionally biggest for the
+  // short -m3 chain)
+  int (*dec_byte_fn)(Predictor&, Decoder&) = nullptr;
+  void (*enc_byte_fn)(Predictor&, Encoder&, int) = nullptr;
 
   void init(const Header& hd);
   bool is_modeled() const { return hdr.n() > 0; }
@@ -226,9 +234,7 @@ struct Decoder {
   // bytes written, < maxn only at EOS
   size_t read_unmodeled(u8* dst, size_t maxn);
   int get() { return bin->get(); }
-
- private:
-  int decode(int p);
+  int decode(int p);                  // public: fused chain loops call it
 };
 
 // ---- postprocessor ----
