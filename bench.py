@@ -277,17 +277,19 @@ def main() -> None:
         cwd = os.getcwd()
         os.chdir(td)
         try:
-            # best-of-2: the full pass is ~1 s; a second run on a fresh
-            # archive path filters transient load on shared machines (the
-            # headline number should measure the pipeline, not a neighbor)
+            # best-of-3: the full pass is ~1 s; repeats on fresh archive
+            # paths filter transient load on shared machines (the headline
+            # number should measure the pipeline, not a neighbor — r5 saw
+            # 188-422 MB/s swings on the 2-vCPU sandbox)
             t0 = time.time()
             nfiles, nfrags, stored = add(str(arc), ["corpus"], method="1")
             full_s = time.time() - t0
-            arc2 = td / "bench2.zpaq"
-            t0 = time.time()
-            add(str(arc2), ["corpus"], method="1")
-            full_s = min(full_s, time.time() - t0)
-            arc2.unlink()
+            for rep in (2, 3):
+                arc2 = td / f"bench{rep}.zpaq"
+                t0 = time.time()
+                add(str(arc2), ["corpus"], method="1")
+                full_s = min(full_s, time.time() - t0)
+                arc2.unlink()
 
             # incremental pass: touch one file, append a version
             p = src / "f000.txt"

@@ -44,7 +44,7 @@ LADDER: List[Tuple[str, str, int, int]] = [
     ("hash", "", 0, 0),
     ("codec", "3", 256, 4096),
     ("codec", "4.0", 8, 4096),     # the m4 chain at its bisect-proven
-    ("codec", "3", 1024, 2048),    # shape BEFORE the slow-compiling
+    ("codec", "3", 1024, 1024),    # shape BEFORE the slow-compiling
     ("codec", "4.0", 32, 4096),    # kilolane stage (~184s compile)
 ]
 
