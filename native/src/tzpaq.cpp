@@ -280,8 +280,14 @@ void VM::init(const u8* prog, size_t proglen, int hbits, int mbits) {
   mmask = u32((size_t(1) << mbits) - 1);
   a = b = c = d = 0; f = 0;
   fast_hcomp = 0;
-  for (const KnownHcomp& k : g_known_hcomps)
-    if (k.code == code) { fast_hcomp = k.kind; break; }
+  // the native bodies use raw H indices up to 21 (the interpreter masks
+  // with hmask): only engage when H is big enough that masking is the
+  // identity for those indices — an exotic header could pair the same
+  // bytecode with a tiny hh, where the interpreter's aliasing semantics
+  // must win
+  if (h.size() > 21)
+    for (const KnownHcomp& k : g_known_hcomps)
+      if (k.code == code) { fast_hcomp = k.kind; break; }
 }
 
 // Exact native transcriptions of the three generated level HCOMPs (see
